@@ -1,0 +1,130 @@
+"""Bloom kernel tests (SURVEY §5.2-5.3): sizing math, and the reference's
+insert/contains/false-positive-rate benchmark protocol replicated as pytest
+oracles (/root/reference/simple_benchmark.cpp:542-567,766-776 semantics:
+insert N seeded keys; probe inserted => all true (fn_rate == 0); probe fresh
+=> measured FPP <= published bound with margin)."""
+
+import numpy as np
+import pytest
+
+from sketchlib.params import BloomParams, fpp_bound
+from sketchlib.sketch import BLOOM
+
+
+def _random_keys(n, seed, length=16):
+    """Seeded printable-ASCII keys, like simple_benchmark.cpp:79-97 but
+    deterministic (the reference's std::random_device is a quirk we fix)."""
+    rng = np.random.default_rng(seed)
+    chars = rng.integers(33, 127, size=(n, length), dtype=np.uint8)
+    return [bytes(row) for row in chars]
+
+
+class TestSizing:
+    def test_standard_formula(self):
+        p = BloomParams.from_np(1_000_000, 0.01)
+        # m = -n ln p / ln^2 2 ~ 9.585 bits/item
+        assert abs(p.m_bits / 1_000_000 - 9.585) < 0.01
+        assert p.k == 7  # round(9.585 * ln2) = 7
+        assert p.m_bits % 64 == 0
+
+    def test_alignment_and_floor(self):
+        p = BloomParams.from_np(1, 0.5)
+        assert p.m_bits >= 64 and p.m_bits % 64 == 0
+
+    @pytest.mark.parametrize("n,p", [(0, 0.01), (100, 0.0), (100, 1.0), (-5, 0.01)])
+    def test_degenerate_fallback(self, n, p):
+        params = BloomParams.from_np(n, p)
+        assert params.m_bits == 8192  # reference's 1024-byte fallback
+
+    def test_k_at_least_one(self):
+        assert BloomParams.from_np(10**9, 0.9).k >= 1
+
+    def test_fpp_bound_formula(self):
+        # (1 - e^{-kn/m})^k
+        assert fpp_bound(9586, 7, 1000) == pytest.approx(
+            (1 - np.exp(-7 * 1000 / 9586)) ** 7)
+        assert fpp_bound(1000, 3, 0) == 0.0
+
+
+class TestReferenceProtocol:
+    """The reference benchmark's accuracy protocol as a pytest oracle."""
+
+    N = 50_000
+    P_TARGET = 0.01
+
+    @pytest.fixture(scope="class")
+    def built(self):
+        keys = _random_keys(self.N + self.N // 2, seed=42)
+        inserted, fresh = keys[: self.N], keys[self.N :]
+        state = BLOOM.create(self.N, self.P_TARGET)
+        # batched insert (vectorized bulk, O11)
+        for i in range(0, self.N, 10_000):
+            BLOOM.update(state, inserted[i : i + 10_000])
+        return state, inserted, fresh
+
+    def test_no_false_negatives(self, built):
+        state, inserted, _ = built
+        assert bool(np.all(BLOOM.contains(state, inserted)))
+
+    def test_fpp_within_published_bound(self, built):
+        state, _, fresh = built
+        hits = BLOOM.contains(state, fresh)
+        fp_rate = float(np.mean(hits))
+        bound = fpp_bound(state.m_bits, state.k, state.n_inserted)
+        # bound + 4 sigma binomial sampling slack
+        slack = 4 * np.sqrt(bound * (1 - bound) / len(fresh))
+        assert fp_rate <= bound + slack, (fp_rate, bound)
+        # and the configured target is respected (standard sizing)
+        assert fp_rate <= self.P_TARGET * 1.3
+
+    def test_counter_tracks_inserts(self, built):
+        state, _, _ = built
+        assert state.n_inserted == self.N
+
+    def test_stats(self, built):
+        state, _, _ = built
+        s = BLOOM.stats(state)
+        assert s["m_bits"] == state.m_bits and s["k"] == state.k
+        assert 0 < s["bits_set"] < state.m_bits
+        assert s["fpp_bound"] <= 0.011
+
+    def test_clear(self, built):
+        state, inserted, _ = built
+        fresh_state = BLOOM.clear(state)
+        assert fresh_state.n_inserted == 0
+        assert not np.any(BLOOM.contains(fresh_state, inserted[:100]))
+
+
+class TestBlockedMode:
+    """Register-blocked variant (O15): one word per key, same protocol."""
+
+    def test_no_false_negatives_and_bounded_fp(self):
+        n = 20_000
+        keys = _random_keys(2 * n, seed=7)
+        inserted, fresh = keys[:n], keys[n:]
+        # blocked filters trade accuracy for speed: oversize by 2x
+        params = BloomParams.from_np(n, 0.01)
+        state = BLOOM.create(n, 0.01, blocked=True, m_bits=2 * params.m_bits,
+                             k=min(params.k, 8))
+        BLOOM.update(state, inserted)
+        assert bool(np.all(BLOOM.contains(state, inserted)))
+        fp = float(np.mean(BLOOM.contains(state, fresh)))
+        assert fp < 0.05  # looser bound: blocked mode clusters bits
+
+
+class TestSerialization:
+    def test_roundtrip(self):
+        state = BLOOM.create(1000, 0.01)
+        BLOOM.update(state, [f"key{i}" for i in range(500)])
+        blob = BLOOM.serialize(state)
+        back = BLOOM.deserialize(blob)
+        assert back.m_bits == state.m_bits and back.k == state.k
+        assert back.n_inserted == state.n_inserted
+        assert np.array_equal(back.words, state.words)
+
+    def test_int64_keys(self):
+        state = BLOOM.create(1000, 0.01)
+        BLOOM.update(state, np.arange(500, dtype=np.int64))
+        assert bool(np.all(BLOOM.contains(state, np.arange(500, dtype=np.int64))))
+        miss = BLOOM.contains(state, np.arange(10**6, 10**6 + 1000, dtype=np.int64))
+        assert float(np.mean(miss)) < 0.05

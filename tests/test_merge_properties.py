@@ -1,0 +1,198 @@
+"""Property-based merge-algebra tests (SURVEY §5.4, mandated by
+BASELINE.json:6 "associative, commutative merge semantics proven by
+property tests").
+
+For Bloom / HLL / CMS the combiner is exact (OR / max / +) so we assert
+BYTE equality: commutativity, associativity, zero-identity, and
+build-split invariance  sketch(A ++ B) == merge(sketch(A), sketch(B)) —
+which is precisely shuffle-order independence for Spark partial
+aggregation.  For KLL / t-digest (compacting sketches) the algebra holds
+up to rank-error equivalence, asserted with bounds.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sketchlib.sketch import BLOOM, CMS, HLL, KLL, TDIGEST
+
+keys = st.lists(
+    st.one_of(
+        st.text(min_size=0, max_size=40),
+        st.binary(min_size=0, max_size=40),
+        st.integers(-(2**31), 2**31).map(lambda i: f"n{i}"),
+    ),
+    min_size=0, max_size=200,
+)
+
+floats = st.lists(
+    st.floats(min_value=-1e12, max_value=1e12,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=300,
+)
+
+
+def _norm(ks):
+    return [k.encode() if isinstance(k, str) else k for k in ks]
+
+
+def _bloom(ks, n=512):
+    s = BLOOM.create(n, 0.01)
+    if ks:
+        BLOOM.update(s, _norm(ks))
+    return s
+
+
+def _hll(ks):
+    s = HLL.create(p=8)
+    if ks:
+        HLL.update(s, _norm(ks))
+    return s
+
+
+def _cms(ks):
+    s = CMS.create(d=3, w=128)
+    if ks:
+        CMS.update(s, _norm(ks))
+    return s
+
+
+class TestBloomAlgebra:
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys)
+    def test_commutative(self, a, b):
+        ab = BLOOM.merge(_bloom(a), _bloom(b))
+        ba = BLOOM.merge(_bloom(b), _bloom(a))
+        assert np.array_equal(ab.words, ba.words)
+        assert ab.n_inserted == ba.n_inserted
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys, keys)
+    def test_associative(self, a, b, c):
+        left = BLOOM.merge(BLOOM.merge(_bloom(a), _bloom(b)), _bloom(c))
+        right = BLOOM.merge(_bloom(a), BLOOM.merge(_bloom(b), _bloom(c)))
+        assert np.array_equal(left.words, right.words)
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys)
+    def test_zero_identity(self, a):
+        z = BLOOM.create(512, 0.01)
+        m = BLOOM.merge(_bloom(a), z)
+        assert np.array_equal(m.words, _bloom(a).words)
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys)
+    def test_idempotent_bits(self, a):
+        s = _bloom(a)
+        m = BLOOM.merge(s, s)
+        assert np.array_equal(m.words, s.words)  # OR idempotent on bits
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys)
+    def test_build_split_invariance(self, a, b):
+        whole = _bloom(list(a) + list(b))
+        split = BLOOM.merge(_bloom(a), _bloom(b))
+        assert np.array_equal(whole.words, split.words)
+        assert whole.n_inserted == split.n_inserted
+
+
+class TestHllAlgebra:
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys)
+    def test_commutative(self, a, b):
+        ab = HLL.merge(_hll(a), _hll(b))
+        ba = HLL.merge(_hll(b), _hll(a))
+        assert np.array_equal(ab.registers, ba.registers)
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys, keys)
+    def test_associative(self, a, b, c):
+        left = HLL.merge(HLL.merge(_hll(a), _hll(b)), _hll(c))
+        right = HLL.merge(_hll(a), HLL.merge(_hll(b), _hll(c)))
+        assert np.array_equal(left.registers, right.registers)
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys)
+    def test_build_split_invariance(self, a, b):
+        whole = _hll(list(a) + list(b))
+        split = HLL.merge(_hll(a), _hll(b))
+        assert np.array_equal(whole.registers, split.registers)
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys)
+    def test_idempotent(self, a):
+        s = _hll(a)
+        assert np.array_equal(HLL.merge(s, s).registers, s.registers)
+
+
+class TestCmsAlgebra:
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys)
+    def test_commutative(self, a, b):
+        ab = CMS.merge(_cms(a), _cms(b))
+        ba = CMS.merge(_cms(b), _cms(a))
+        assert np.array_equal(ab.table, ba.table)
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys, keys)
+    def test_associative(self, a, b, c):
+        left = CMS.merge(CMS.merge(_cms(a), _cms(b)), _cms(c))
+        right = CMS.merge(_cms(a), CMS.merge(_cms(b), _cms(c)))
+        assert np.array_equal(left.table, right.table)
+
+    @settings(max_examples=50, deadline=None)
+    @given(keys, keys)
+    def test_build_split_invariance(self, a, b):
+        whole = _cms(list(a) + list(b))
+        split = CMS.merge(_cms(a), _cms(b))
+        assert np.array_equal(whole.table, split.table)
+        assert whole.n_total == split.n_total
+
+
+class TestQuantileSketchAlgebra:
+    """Compacting sketches: estimate-equivalence, not byte equality."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(floats, floats)
+    def test_kll_split_estimate_equivalence(self, a, b):
+        whole = KLL.create(100)
+        KLL.update(whole, np.array(a + b))
+        left, right = KLL.create(100), KLL.create(100)
+        KLL.update(left, np.array(a))
+        KLL.update(right, np.array(b))
+        merged = KLL.merge(left, right)
+        assert merged.n == whole.n
+        if whole.n:
+            data = np.sort(np.array(a + b))
+            for q in (0.25, 0.5, 0.75):
+                for est in (KLL.quantile(whole, [q])[0], KLL.quantile(merged, [q])[0]):
+                    rank = np.searchsorted(data, est, side="right") / data.size
+                    lo = np.searchsorted(data, est, side="left") / data.size
+                    assert lo - 0.12 <= q <= rank + 0.12
+
+    @settings(max_examples=25, deadline=None)
+    @given(floats, floats)
+    def test_tdigest_split_estimate_equivalence(self, a, b):
+        whole = TDIGEST.create(100)
+        TDIGEST.update(whole, np.array(a + b))
+        left, right = TDIGEST.create(100), TDIGEST.create(100)
+        TDIGEST.update(left, np.array(a))
+        TDIGEST.update(right, np.array(b))
+        merged = TDIGEST.merge(left, right)
+        assert merged.n == whole.n
+        if whole.n:
+            data = np.sort(np.array(a + b))
+            for q in (0.1, 0.5, 0.9):
+                est = TDIGEST.quantile(merged, [q])[0]
+                rank_hi = np.searchsorted(data, est, side="right") / data.size
+                rank_lo = np.searchsorted(data, est, side="left") / data.size
+                assert rank_lo - 0.15 <= q <= rank_hi + 0.15
+
+    @settings(max_examples=25, deadline=None)
+    @given(floats, floats)
+    def test_kll_merge_commutative_counts(self, a, b):
+        l1, r1 = KLL.create(100), KLL.create(100)
+        KLL.update(l1, np.array(a))
+        KLL.update(r1, np.array(b))
+        m1 = KLL.merge(l1, r1)
+        m2 = KLL.merge(r1, l1)
+        assert m1.n == m2.n
