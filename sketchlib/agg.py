@@ -1,0 +1,357 @@
+"""The Spark aggregation engine: distributed sketch builds.
+
+This is the Spark-first re-expression of the reference's sharded parallel
+build (SURVEY §3.2, /root/reference/simple_benchmark.cpp:438-539):
+
+  reference                      ->  this engine
+  -------------------------------------------------------------------
+  pre-partition by key hash      ->  optional repartition (only for skew
+  (simple_benchmark.cpp:450-458)     or shard-count control; sketches are
+                                     set-union algebras, so ANY row
+                                     placement is correct — the shuffle
+                                     is a balance choice, not a
+                                     correctness requirement)
+  per-thread sub-filter build    ->  mapInPandas partial build: one
+  (gloom.h:113-140)                  serialized sketch per input partition,
+                                     whole-column numpy per Arrow batch
+  MPMC queues + flush()          ->  NOT NEEDED: Spark's exchange is the
+  (gloom.h:196-215)                  barrier; no cross-partition state
+  implicit OR of shard bits      ->  explicit log-depth tree merge via
+  (bloom.h:268 etc.)                 repeated groupBy(shard // fanout)
+
+Skew: per-group sketches (``sketch_grouped``) use explicit salted
+two-phase aggregation — groupBy(group, salt) partials then groupBy(group)
+merge — because AQE skew-splitting does not apply to applyInPandas groups
+(BASELINE.json:14 "explicit salted repartitioning").
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType, LongType
+
+from .params import BloomParams
+from .sketch import KINDS, deserialize_any, peek_kind
+
+__all__ = [
+    "SketchSpec", "bloom_spec", "hll_spec", "cms_spec", "kll_spec",
+    "tdigest_spec", "build_partials", "build_partials_keyed", "shard_expr",
+    "tree_merge", "build_sketch",
+    "sketch_grouped", "bloom_contains_col", "cms_estimate_col",
+    "BuildResult",
+]
+
+PARTIAL_SCHEMA = "shard long, state binary, n long"
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """Pickle-able sketch config shipped inside UDF closures."""
+
+    kind: str
+    cfg: dict = field(default_factory=dict)
+
+    def create(self):
+        return KINDS[self.kind].create(**self.cfg)
+
+    @property
+    def ops(self):
+        return KINDS[self.kind]
+
+
+def bloom_spec(expected_n: int, p: float = 0.01, *, blocked: bool = False) -> SketchSpec:
+    """Resolve geometry up front so every partition builds merge-compatible
+    states (same m, k regardless of the rows it happens to see)."""
+    params = BloomParams.from_np(expected_n, p)
+    return SketchSpec("bloom", {"n": expected_n, "p": p, "blocked": blocked,
+                                "m_bits": params.m_bits, "k": params.k})
+
+
+def hll_spec(p: int = 14) -> SketchSpec:
+    return SketchSpec("hll", {"p": p})
+
+
+def cms_spec(d: int = 5, w: int = 4096) -> SketchSpec:
+    return SketchSpec("cms", {"d": d, "w": w})
+
+
+def kll_spec(k: int = 200) -> SketchSpec:
+    return SketchSpec("kll", {"k": k})
+
+
+def tdigest_spec(delta: float = 200.0) -> SketchSpec:
+    return SketchSpec("tdigest", {"delta": delta})
+
+
+def _series_values(series: pd.Series):
+    """pandas column -> kernel-updatable values, nulls dropped (SQL
+    aggregate semantics: NULL contributes nothing)."""
+    if series.dtype.kind in "iu":
+        return series.to_numpy(np.int64, copy=False)
+    if series.dtype.kind == "f":
+        vals = series.to_numpy(np.float64, copy=False)
+        return vals[~np.isnan(vals)]
+    series = series.dropna()
+    return pa.array(series, type=pa.large_string()) if series.dtype == object else pa.array(series)
+
+
+def build_partials(df: DataFrame, col: str, spec: SketchSpec,
+                   num_shards: int | None = None) -> DataFrame:
+    """Stage 1 (fast path): one serialized partial sketch per partition.
+
+    Zero-shuffle by default — the sketch algebra is placement-independent
+    (union-style combiners), so unlike the reference's hash-owned shards
+    (gloom.h:127-128) NO repartition is needed for correctness; the scan
+    partitions are the shards.  ``num_shards`` forces a round-robin
+    repartition, used only to rebalance pathologically-sized input splits.
+    """
+    sel = df.select(F.col(col).alias("__v"))
+    if num_shards is not None:
+        sel = sel.repartition(num_shards)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ops = spec.ops
+        state = spec.create()
+        n = 0
+        for pdf in batches:
+            vals = _series_values(pdf["__v"])
+            n += len(vals)
+            state = ops.update(state, vals)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"shard": [pid], "state": [ops.serialize(state)],
+                            "n": [n]})
+
+    return sel.mapInPandas(build, PARTIAL_SCHEMA)
+
+
+def shard_expr(route_cols: list[str], num_shards: int, seed: int = 17):
+    """Deterministic shard id as a *data* function (O9's
+    ``(h >> 16) & (S-1)`` analogue): pmod(xxhash64(cols..., seed), S).
+    Routing by a high-cardinality column (e.g. url) is itself the salting —
+    a hot host-domain spreads because the full url varies; routing by a
+    skewed column directly is the anti-pattern this API avoids."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in route_cols], F.lit(seed)),
+                  F.lit(num_shards)).cast("long")
+
+
+def build_partials_keyed(df: DataFrame, col: str, spec: SketchSpec,
+                         route_cols: list[str], num_shards: int,
+                         shards_to_build: list[int] | None = None) -> DataFrame:
+    """Stage 1 (checkpoint path): shard membership is a deterministic
+    function of the row (not of Spark's physical split), so a failed run
+    can rebuild exactly the missing shards (``shards_to_build``) and merge
+    them with checkpointed ones — per-partition lineage stays meaningful
+    across retries and cluster sizes."""
+    ops = spec.ops
+    sel = df.select(F.col(col).alias("__v"),
+                    shard_expr(route_cols, num_shards).alias("shard"))
+    if shards_to_build is not None:
+        sel = sel.where(F.col("shard").isin([int(s) for s in shards_to_build]))
+
+    def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        state = spec.create()
+        vals = _series_values(pdf["__v"])
+        state = ops.update(state, vals)
+        return pd.DataFrame({"shard": [key[0]], "state": [ops.serialize(state)],
+                             "n": [len(vals)]})
+
+    return sel.groupBy("shard").applyInPandas(build_group, PARTIAL_SCHEMA)
+
+
+def _merge_group_fn(spec: SketchSpec):
+    ops = spec.ops
+
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [ops.deserialize(b) for b in pdf["state"]]
+        acc = reduce(ops.merge, states)
+        return pd.DataFrame({"shard": [key[0]], "state": [ops.serialize(acc)],
+                             "n": [int(pdf["n"].sum())]})
+
+    return merge_group
+
+
+def tree_merge(partials: DataFrame, spec: SketchSpec, num_partials: int,
+               fanout: int = 16) -> DataFrame:
+    """Log-depth reduction (O12 as Spark stages): each round groups ``fanout``
+    partials and merges them executor-side; only the last ≤fanout blobs ever
+    reach the driver.  rounds = ceil(log_fanout(P)) — statically derived, no
+    counting jobs."""
+    current = partials
+    remaining = max(1, num_partials)
+    while remaining > fanout:
+        current = (
+            current.withColumn("shard", (F.col("shard") / fanout).cast("long"))
+            .groupBy("shard")
+            .applyInPandas(_merge_group_fn(spec), PARTIAL_SCHEMA)
+        )
+        remaining = math.ceil(remaining / fanout)
+    return current
+
+
+@dataclass
+class BuildResult:
+    spec: SketchSpec
+    state_bytes: bytes
+    n_rows: int
+    num_partials: int
+    build_secs: float
+    shard_lineage: list[dict] = field(default_factory=list)
+
+    @property
+    def state(self):
+        return deserialize_any(self.state_bytes)
+
+    @property
+    def ops(self):
+        return KINDS[peek_kind(self.state_bytes)]
+
+    def metrics(self) -> dict:
+        out = {
+            "kind": self.spec.kind,
+            "n_rows": self.n_rows,
+            "num_partials": self.num_partials,
+            "build_secs": round(self.build_secs, 4),
+            "state_size_bytes": len(self.state_bytes),
+            "rows_per_sec": round(self.n_rows / self.build_secs, 1)
+            if self.build_secs > 0 else None,
+        }
+        out.update(self.ops.stats(self.state))
+        return out
+
+
+def build_sketch(df: DataFrame, col: str, spec: SketchSpec, *,
+                 num_shards: int | None = None,
+                 fanout: int = 16, collect_lineage: bool = False) -> BuildResult:
+    """Full pipeline: partials -> tree merge -> final state on the driver."""
+    t0 = time.perf_counter()
+    partials = build_partials(df, col, spec, num_shards)
+    num_partials = num_shards if num_shards is not None \
+        else df.rdd.getNumPartitions()
+
+    lineage: list[dict] = []
+    if collect_lineage:
+        rows = partials.collect()
+        lineage = [{"shard": r["shard"], "n": r["n"],
+                    "state_sha": __import__("hashlib").sha256(bytes(r["state"])).hexdigest()[:16]}
+                   for r in rows]
+        # rebuild a local DataFrame to continue the merge
+        spark = df.sparkSession
+        partials = spark.createDataFrame(
+            [(r["shard"], bytes(r["state"]), r["n"]) for r in rows],
+            PARTIAL_SCHEMA)
+
+    merged = tree_merge(partials, spec, num_partials, fanout)
+    final_rows = merged.collect()
+    ops = spec.ops
+    if not final_rows:
+        state = spec.create()
+        n_rows = 0
+    else:
+        states = [ops.deserialize(bytes(r["state"])) for r in final_rows]
+        state = reduce(ops.merge, states)
+        n_rows = sum(int(r["n"]) for r in final_rows)
+    secs = time.perf_counter() - t0
+    return BuildResult(spec, ops.serialize(state), n_rows, num_partials,
+                       secs, lineage)
+
+
+# ---------------------------------------------------------------------------
+# grouped sketches (one sketch per key) with explicit salting
+# ---------------------------------------------------------------------------
+
+def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
+                   spec: SketchSpec, salt_buckets: int = 8) -> DataFrame:
+    """Per-group sketch states via two-phase salted aggregation.
+
+    Phase 1 groups by (group_cols, salt) where salt = spark_partition_id % B:
+    a hot group's rows — which span many input partitions — fan out over up
+    to B phase-1 tasks instead of melting one executor.  Phase 2 merges the
+    ≤B partials per group (tiny shuffle: B states per group, not B rows).
+    This is the explicit skew defusal the north_rule requires because AQE's
+    skew-join splitting does not apply to applyInPandas groups.
+    Returns DataFrame(group_cols..., state binary, n long).
+    """
+    ops = spec.ops
+    gcols = list(group_cols)
+
+    # Preserve the group columns' real types by carrying them through pandas.
+    schema_fields = []
+    for f_ in df.select(*gcols).schema.fields:
+        schema_fields.append(f"`{f_.name}` {f_.dataType.simpleString()}")
+    partial_schema = ", ".join(schema_fields + ["__salt int", "state binary", "n long"])
+    final_schema = ", ".join(schema_fields + ["state binary", "n long"])
+
+    salted = df.select(*gcols, F.col(value_col).alias("__v")) \
+        .withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).cast("int"))
+
+    def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        state = spec.create()
+        vals = _series_values(pdf["__v"])
+        state = ops.update(state, vals)
+        row = {c: [key[i]] for i, c in enumerate(gcols)}
+        row["__salt"] = [key[len(gcols)]]
+        row["state"] = [ops.serialize(state)]
+        row["n"] = [len(vals)]
+        return pd.DataFrame(row)
+
+    partials = salted.groupBy(*gcols, "__salt").applyInPandas(build_group, partial_schema)
+
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [ops.deserialize(b) for b in pdf["state"]]
+        acc = reduce(ops.merge, states)
+        row = {c: [key[i]] for i, c in enumerate(gcols)}
+        row["state"] = [ops.serialize(acc)]
+        row["n"] = [int(pdf["n"].sum())]
+        return pd.DataFrame(row)
+
+    return partials.groupBy(*gcols).applyInPandas(merge_group, final_schema)
+
+
+# ---------------------------------------------------------------------------
+# probe-side vectorized UDFs (O6 at scale: broadcast state, column probe)
+# ---------------------------------------------------------------------------
+
+def bloom_contains_col(spark, state_bytes: bytes, col):
+    """BooleanType column: membership probe against a broadcast Bloom state.
+    The blob ships once per executor (Spark broadcast); each Arrow batch is
+    probed whole-column."""
+    bc = spark.sparkContext.broadcast(state_bytes)
+
+    @F.pandas_udf(BooleanType())
+    def probe(series: pd.Series) -> pd.Series:
+        from .sketch import BLOOM
+        state = BLOOM.deserialize(bc.value)
+        vals = series if series.dtype != object else pa.array(series.fillna(""), type=pa.large_string())
+        if isinstance(vals, pd.Series):
+            vals = vals.to_numpy(np.int64, copy=False)
+        return pd.Series(BLOOM.contains(state, vals))
+
+    return probe(col)
+
+
+def cms_estimate_col(spark, state_bytes: bytes, col):
+    """LongType column: CMS point-frequency estimates for a key column."""
+    bc = spark.sparkContext.broadcast(state_bytes)
+
+    @F.pandas_udf(LongType())
+    def estimate(series: pd.Series) -> pd.Series:
+        from .sketch import CMS
+        state = CMS.deserialize(bc.value)
+        vals = series if series.dtype != object else pa.array(series.fillna(""), type=pa.large_string())
+        if isinstance(vals, pd.Series):
+            vals = vals.to_numpy(np.int64, copy=False)
+        return pd.Series(CMS.estimate(state, vals))
+
+    return estimate(col)

@@ -1,0 +1,189 @@
+"""Spark end-to-end tests for the aggregation engine (SURVEY §5.6):
+distributed builds over the driver's parquet tables, cross-checked against
+exact answers and Spark's own built-ins."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.agg import (
+    bloom_contains_col,
+    bloom_spec,
+    build_partials,
+    build_partials_keyed,
+    build_sketch,
+    cms_spec,
+    hll_spec,
+    kll_spec,
+    sketch_grouped,
+    tdigest_spec,
+)
+from sketchlib.sketch import BLOOM, CMS, HLL, KLL, TDIGEST
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_test):
+    return spark.read.parquet(f"{sf_test}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_test):
+    return spark.read.parquet(f"{sf_test}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_test):
+    return spark.read.parquet(f"{sf_test}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_test):
+    return spark.read.parquet(f"{sf_test}/events.parquet")
+
+
+class TestBloomEndToEnd:
+    def test_membership_no_false_negatives(self, spark, customer, orders):
+        n = customer.count()
+        res = build_sketch(customer, "c_custkey", bloom_spec(n, 0.01))
+        assert res.n_rows == n
+        probes = orders.select("o_custkey").distinct()
+        hit = probes.withColumn(
+            "hit", bloom_contains_col(spark, res.state_bytes, F.col("o_custkey")))
+        # FK-clean: every o_custkey is a real customer => all present
+        assert hit.where(~F.col("hit")).count() == 0
+
+    def test_fp_rate_bounded(self, spark, customer):
+        n = customer.count()
+        res = build_sketch(customer, "c_custkey", bloom_spec(n, 0.01))
+        fresh = spark.range(10_000_000, 10_050_000).select(
+            F.col("id").alias("key"))
+        hits = fresh.withColumn(
+            "hit", bloom_contains_col(spark, res.state_bytes, F.col("key")))
+        fp_rate = hits.where("hit").count() / 50_000
+        bound = res.state.m_bits and res.ops.stats(res.state)["fpp_bound"]
+        assert fp_rate <= max(2 * bound, bound + 4 * np.sqrt(bound / 50_000))
+
+    def test_distributed_equals_local(self, spark, customer):
+        """Build-split invariance on a real cluster path: the distributed
+        state is byte-identical to a single-process build."""
+        n = customer.count()
+        spec = bloom_spec(n, 0.01)
+        dist = build_sketch(customer.repartition(16), "c_custkey", spec)
+        keys = np.array([r["c_custkey"] for r in customer.collect()], np.int64)
+        local = spec.create()
+        BLOOM.update(local, keys)
+        assert np.array_equal(dist.state.words, local.words)
+        assert dist.state.n_inserted == local.n_inserted
+
+    def test_keyed_build_deterministic_shards(self, spark, customer):
+        n = customer.count()
+        spec = bloom_spec(n, 0.01)
+        p1 = build_partials_keyed(customer, "c_custkey", spec,
+                                  ["c_custkey"], 8).collect()
+        p2 = build_partials_keyed(customer.repartition(3), "c_custkey", spec,
+                                  ["c_custkey"], 8).collect()
+        by_shard1 = {r["shard"]: (bytes(r["state"]), r["n"]) for r in p1}
+        by_shard2 = {r["shard"]: (bytes(r["state"]), r["n"]) for r in p2}
+        # shard contents are a function of the data, not the physical split
+        assert by_shard1 == by_shard2
+
+
+class TestHllEndToEnd:
+    def test_distinct_partkeys(self, spark, lineitem):
+        res = build_sketch(lineitem, "l_partkey", hll_spec(p=14))
+        exact = lineitem.select("l_partkey").distinct().count()
+        est = HLL.cardinality(res.state)
+        assert abs(est - exact) <= max(5 * 1.04 / np.sqrt(2**14) * exact, 3)
+
+    def test_grouped_distinct_users(self, spark, events):
+        grouped = sketch_grouped(events, ["event_type"], "user_id",
+                                 hll_spec(p=12), salt_buckets=4)
+        rows = grouped.collect()
+        exact = {r["event_type"]: r["cnt"] for r in events.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("cnt")).collect()}
+        assert set(r["event_type"] for r in rows) == set(exact)
+        for r in rows:
+            est = HLL.cardinality(HLL.deserialize(bytes(r["state"])))
+            true = exact[r["event_type"]]
+            assert abs(est - true) <= max(0.08 * true, 3), (r["event_type"], est, true)
+
+    def test_matches_spark_builtin_direction(self, spark, lineitem):
+        """Sanity: our estimate and Spark's HLL++ approx_count_distinct
+        should both be near the exact count."""
+        res = build_sketch(lineitem, "l_orderkey", hll_spec(p=14))
+        builtin = lineitem.agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("a")).collect()[0]["a"]
+        est = HLL.cardinality(res.state)
+        exact = lineitem.select("l_orderkey").distinct().count()
+        assert abs(est - exact) / exact < 0.05
+        assert abs(builtin - exact) / exact < 0.05
+
+
+class TestCmsEndToEnd:
+    def test_point_frequencies(self, spark, orders):
+        res = build_sketch(orders, "o_orderpriority", cms_spec(d=5, w=2048))
+        exact = {r["o_orderpriority"]: r["cnt"] for r in
+                 orders.groupBy("o_orderpriority").count()
+                 .withColumnRenamed("count", "cnt").collect()}
+        state = res.state
+        keys = list(exact)
+        import pyarrow as pa
+        ests = CMS.estimate(state, pa.array(keys, type=pa.large_string()))
+        eps = np.e / state.w
+        for k, est in zip(keys, ests):
+            assert est >= exact[k]
+            assert est <= exact[k] + eps * state.n_total
+
+
+class TestQuantilesEndToEnd:
+    def test_kll_prices(self, spark, lineitem):
+        res = build_sketch(lineitem, "l_extendedprice", kll_spec(k=200))
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        est = KLL.quantile(res.state, qs)
+        total = lineitem.count()
+        for q, v in zip(qs, est):
+            rank = lineitem.where(F.col("l_extendedprice") <= float(v)).count() / total
+            assert abs(rank - q) <= 0.015, (q, rank)
+
+    def test_tdigest_event_values(self, spark, events):
+        res = build_sketch(events, "value", tdigest_spec(delta=200))
+        total = events.where(F.col("value").isNotNull()).count()
+        for q in [0.05, 0.5, 0.95]:
+            v = float(TDIGEST.quantile(res.state, [q])[0])
+            rank = events.where(F.col("value") <= v).count() / total
+            assert abs(rank - q) <= 0.02, (q, rank)
+
+    def test_kll_matches_percentile_approx_direction(self, spark, lineitem):
+        res = build_sketch(lineitem, "l_extendedprice", kll_spec(k=200))
+        ours = float(KLL.quantile(res.state, [0.5])[0])
+        builtin = lineitem.agg(
+            F.percentile_approx("l_extendedprice", 0.5).alias("m")).collect()[0]["m"]
+        exact_med = lineitem.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
+        assert abs(ours - exact_med) / exact_med < 0.05
+        assert abs(builtin - exact_med) / exact_med < 0.05
+
+
+class TestTreeMergeTopology:
+    def test_many_partitions_tree_merge(self, spark, lineitem):
+        """64 partials, fanout 4 -> 3 merge rounds; result identical to
+        single-round merge."""
+        spec = hll_spec(p=12)
+        res_tree = build_sketch(lineitem.repartition(64), "l_partkey", spec,
+                                num_shards=64, fanout=4)
+        res_flat = build_sketch(lineitem, "l_partkey", spec)
+        assert np.array_equal(res_tree.state.registers, res_flat.state.registers)
+
+    def test_empty_input(self, spark, lineitem):
+        empty = lineitem.where("l_orderkey < 0")
+        res = build_sketch(empty, "l_partkey", hll_spec(p=10))
+        assert res.n_rows == 0
+        assert HLL.cardinality(res.state) == 0.0
+
+    def test_lineage_collection(self, spark, customer):
+        n = customer.count()
+        res = build_sketch(customer, "c_custkey", bloom_spec(n, 0.01),
+                           num_shards=8, collect_lineage=True)
+        assert len(res.shard_lineage) == 8
+        assert sum(s["n"] for s in res.shard_lineage) == n
+        m = res.metrics()
+        assert m["n_rows"] == n and m["kind"] == "bloom"
