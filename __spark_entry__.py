@@ -1,38 +1,104 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship sketch suite at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators) for the DuckDB
+correctness gate.  Implementation lives in ``sketchlib/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SMOKE_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+def _prep(spark: SparkSession) -> None:
+    from sketchlib.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build all five sketches over sf0.001 and return one row per
+    sketch with its key estimate and a bound-check flag."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    _prep(spark)
+    from sketchlib.agg import (bloom_contains_col, bloom_spec, build_sketch,
+                               cms_spec, hll_spec, kll_spec, tdigest_spec)
+    from sketchlib.params import fpp_bound
+    from sketchlib.sketch import HLL, KLL, TDIGEST
+    from sketchlib.textops import tokens_col
+
+    sf = SMOKE_DIR
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = []
+
+    # bloom: membership over orderkeys, no false negatives
+    n = li.select("l_orderkey").distinct().count()
+    b = build_sketch(li.select("l_orderkey").distinct(), "l_orderkey",
+                     bloom_spec(n, 0.01))
+    fn = li.select("l_orderkey").distinct().where(
+        ~bloom_contains_col(spark, b.state_bytes, F.col("l_orderkey"))).count()
+    rows.append(("bloom", float(n), bool(fn == 0)))
+
+    # hll: distinct partkeys
+    h = build_sketch(li, "l_partkey", hll_spec(p=13))
+    est = HLL.cardinality(h.state)
+    exact = li.select("l_partkey").distinct().count()
+    rows.append(("hll", float(est),
+                 bool(abs(est - exact) <= max(5 * 1.04 / math.sqrt(2**13) * exact, 3))))
+
+    # cms: token frequencies never undercount
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    c = build_sketch(toks, "token", cms_spec(d=5, w=4096))
+    rows.append(("cms", float(c.n_rows), bool(c.n_rows == toks.count())))
+
+    # kll + tdigest: median rank error
+    k = build_sketch(li, "l_extendedprice", kll_spec(k=200))
+    med = float(KLL.quantile(k.state, [0.5])[0])
+    total = li.count()
+    rank = li.where(F.col("l_extendedprice") <= med).count() / total
+    rows.append(("kll", med, bool(abs(rank - 0.5) <= 0.03)))
+
+    t = build_sketch(li, "l_extendedprice", tdigest_spec(delta=200))
+    med_t = float(TDIGEST.quantile(t.state, [0.5])[0])
+    rank_t = li.where(F.col("l_extendedprice") <= med_t).count() / total
+    rows.append(("tdigest", med_t, bool(abs(rank_t - 0.5) <= 0.03)))
+
+    return spark.createDataFrame(rows, "sketch string, estimate double, ok boolean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 + pipeline ops)."""
+    from sketchlib.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each oracle-expressible query; omitted keys
+    (simhash_pairs, doc_fingerprints, langid_summary, ann_ivf) are
+    non-SQL-expressible and get the driver's rows-only check."""
+    from sketchlib.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,180 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Spark-first decomposition:
+  * exact dedup              -> md5 groupBy (pure Catalyst, one shuffle)
+  * shingling                -> JVM transform/slice expressions
+  * MinHash signatures       -> ONE vectorized mapInPandas pass (flat-explode
+                                the batch's shingles in numpy, scatter-min)
+  * LSH banding              -> posexplode + equi-join on (band, band_hash):
+                                Catalyst handles the candidate join; AQE
+                                coalesces the mostly-empty buckets
+  * verification             -> exact Jaccard via array_intersect/array_union
+                                (JVM), so emitted pairs are never false
+                                positives — MinHash recall is the only
+                                approximation, bounded by the band profile
+At 100 TB: every stage is a narrow map or a shuffle on a bounded-width key
+(band hash / text hash); no driver-side loops, no collect of row data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import derive_hashes, hash64
+from .textops import shingles_col, tokens_col
+
+__all__ = [
+    "exact_dedup_groups", "exact_dedup_keep_first", "minhash_signatures",
+    "lsh_candidate_pairs", "verified_near_dup_pairs", "simhash_near_dup_pairs",
+]
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, cnt, keep_id): one row per distinct text, the id to keep
+    (min id) and the duplicate count.  Pure Catalyst — partial aggregation
+    map-side, single shuffle on the 128-bit text hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("cnt"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated table itself (keep lowest id per duplicate group)."""
+    w = exact_dedup_groups(df, text_col, id_col).select("keep_id")
+    return df.join(w, df[id_col] == w["keep_id"], "leftsemi")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<bigint>) — MinHash signature over word-shingle sets.
+
+    The signature is computed in one vectorized pass per Arrow batch:
+    the batch's shingles are flattened into a single array, hashed once
+    (hash64 + derived families), and scattered back per-document with
+    np.minimum.at — no per-document Python loop bodies doing real work.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf[text_col].fillna("").str.split()
+            shingles: list[list[str]] = []
+            for t in toks:
+                if len(t) >= shingle_n:
+                    shingles.append([" ".join(t[i : i + shingle_n])
+                                     for i in range(len(t) - shingle_n + 1)])
+                else:
+                    shingles.append([" ".join(t)] if t else [])
+            counts = np.array([len(s) for s in shingles], np.int64)
+            flat = [s for doc in shingles for s in doc]
+            ndocs = len(pdf)
+            sig = np.full((ndocs, num_hashes), np.iinfo(np.int64).max, np.int64)
+            if flat:
+                fam = derive_hashes(hash64(flat), num_hashes)  # [H, nshingles]
+                doc_idx = np.repeat(np.arange(ndocs), counts)
+                half = (fam >> np.uint64(1)).astype(np.int64)  # keep positive
+                for h in range(num_hashes):
+                    np.minimum.at(sig[:, h], doc_idx, half[h])
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sig)})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, sig array<bigint>")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, rows: int = 4) -> DataFrame:
+    """(a, b) candidate pairs from LSH banding: a pair collides if any band
+    of ``rows`` consecutive signature slots matches exactly.  Probability a
+    pair with Jaccard s collides: 1 - (1 - s^rows)^bands."""
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string")))),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right,
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.5,
+                            num_hashes: int = 64, bands: int = 16,
+                            rows: int = 4, shingle_n: int = 3) -> DataFrame:
+    """(a, b, jacc_pct) — near-duplicate pairs with exact shingle-set Jaccard
+    >= threshold.  MinHash+LSH prunes the O(N^2) space; the exact JVM-side
+    verification join removes LSH false positives entirely (emitted pairs
+    are exact), leaving recall as the only approximation."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    shset = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)).alias("sh"),
+    )
+    a = shset.alias("sa")
+    b = shset.alias("sb")
+    joined = (
+        cands.join(a, cands["a"] == F.col(f"sa.{id_col}"))
+        .join(b, cands["b"] == F.col(f"sb.{id_col}"))
+        .withColumn("inter", F.size(F.array_intersect("sa.sh", "sb.sh")))
+        .withColumn("uni", F.size(F.array_union("sa.sh", "sb.sh")))
+        .withColumn("jacc", F.col("inter") / F.col("uni"))
+        .where(F.col("jacc") >= threshold)
+    )
+    return joined.select(
+        "a", "b", F.round(F.col("jacc") * 100).cast("int").alias("jacc_pct"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) — SimHash near-dup pairs.  Scale path: block on the
+    four 16-bit quarters of the simhash (any pair within Hamming distance 3
+    must agree on at least one quarter — pigeonhole), equi-join per block,
+    then filter by exact Hamming distance via bit_count(xor) in the JVM."""
+    from .textops import simhash_docs
+
+    sh = simhash_docs(df, id_col, text_col)
+    blocks = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("block", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.block") == F.col("r.block"))
+               & (F.col("l.block_val") == F.col("r.block_val"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+                .alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,433 @@
+"""The query surface: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where expressible, a DuckDB
+oracle SQL string over the same parquet tables (the driver's correctness
+gate in __spark_entry__.py).
+
+Sketch estimates are gated with the *bound-check pattern*: the Spark side
+computes estimate AND exact answer AND a boolean ``ok`` asserting the
+estimate is within the algorithm's published error bound; the oracle emits
+the same rows with ``ok = TRUE``.  A bound violation therefore shows up as
+a value-hash mismatch — the sketch error bound IS the correctness contract
+(BASELINE.json:6 "estimates fall within each algorithm's published bound").
+
+Everything is deterministic (fixed hash seeds, seeded data), so these
+checks are stable, not flaky.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .agg import (
+    bloom_contains_col,
+    bloom_spec,
+    build_sketch,
+    cms_estimate_col,
+    cms_spec,
+    hll_spec,
+    kll_spec,
+    sketch_grouped,
+    tdigest_spec,
+)
+from .dedup import exact_dedup_groups, simhash_near_dup_pairs, verified_near_dup_pairs
+from .params import BloomParams, fpp_bound
+from .similarity import cosine_topk, ivf_topk, train_centroids
+from .sketch import HLL, KLL, TDIGEST
+from .textops import (
+    STOPWORDS,
+    fingerprint_docs,
+    langid_docs,
+    quality_stats,
+    token_stats,
+    tokens_col,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Bloom (O1-O13): membership, FPP/FN protocol, sizing math
+# ---------------------------------------------------------------------------
+
+@register("bloom_semijoin", """
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer)
+""")
+def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join: build over customer keys, probe order keys.
+    Every probe is a true member (FK-clean data), so the bloom answer is
+    exact — this gates the no-false-negative invariant end-to-end."""
+    cust = _t(spark, sf_dir, "customer")
+    res = build_sketch(cust, "c_custkey", bloom_spec(cust.count(), 0.01))
+    probes = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return probes.where(
+        bloom_contains_col(spark, res.state_bytes, F.col("o_custkey")))
+
+
+@register("bloom_fpp_fn", "SELECT TRUE AS fn_ok, TRUE AS fp_ok")
+def bloom_fpp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's accuracy protocol (simple_benchmark.cpp:766-776) as a
+    distributed query: fn_ok == no false negatives on all inserted keys;
+    fp_ok == measured FP rate on 100K fresh keys within the published bound
+    (1-e^{-kn/m})^k plus binomial sampling slack."""
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    res = build_sketch(cust, "c_custkey", bloom_spec(n, 0.01))
+    fn_cnt = cust.where(
+        ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
+    n_probe = 100_000
+    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fp_cnt = fresh.where(
+        bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
+    st = res.state
+    bound = fpp_bound(st.m_bits, st.k, st.n_inserted)
+    fp_ok = fp_cnt / n_probe <= bound + 4 * math.sqrt(bound * (1 - bound) / n_probe)
+    return spark.createDataFrame([(fn_cnt == 0, bool(fp_ok))],
+                                 "fn_ok boolean, fp_ok boolean")
+
+
+@register("bloom_sizing", """
+WITH c AS (SELECT COUNT(*)::BIGINT AS n FROM customer),
+raw AS (SELECT n,
+        GREATEST(64, ((CAST(CEIL(-n * LN(0.01) / (LN(2) * LN(2))) AS BIGINT) + 63) // 64) * 64) AS m_bits
+        FROM c)
+SELECT n, m_bits,
+       GREATEST(1, CAST(ROUND(m_bits * LN(2) / n) AS BIGINT)) AS k
+FROM raw
+""")
+def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 sizing math is itself oracle-checked: the SQL side re-derives the
+    standard formula (m = -n ln p / ln^2 2, 64-bit aligned; k = m/n ln 2)."""
+    n = _t(spark, sf_dir, "customer").count()
+    params = BloomParams.from_np(n, 0.01)
+    return spark.createDataFrame([(n, params.m_bits, params.k)],
+                                 "n long, m_bits long, k long")
+
+
+# ---------------------------------------------------------------------------
+# HLL: approximate distinct counts, global + grouped (salted)
+# ---------------------------------------------------------------------------
+
+@register("hll_partkey", """
+SELECT COUNT(DISTINCT l_partkey)::BIGINT AS exact_cnt, TRUE AS ok FROM lineitem
+""")
+def hll_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    res = build_sketch(li, "l_partkey", hll_spec(p=14))
+    est = HLL.cardinality(res.state)
+    exact = li.select("l_partkey").distinct().count()
+    tol = max(5 * 1.04 / math.sqrt(2**14) * exact, 3)
+    return spark.createDataFrame([(exact, bool(abs(est - exact) <= tol))],
+                                 "exact_cnt long, ok boolean")
+
+
+@register("hll_users_by_type", """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok
+FROM events GROUP BY event_type
+""")
+def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL via the two-phase salted aggregation path."""
+    ev = _t(spark, sf_dir, "events")
+    grouped = sketch_grouped(ev, ["event_type"], "user_id", hll_spec(p=13),
+                             salt_buckets=8)
+    exact = {r["event_type"]: r["c"] for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("c")).collect()}
+    rows = []
+    for r in grouped.collect():
+        est = HLL.cardinality(HLL.deserialize(bytes(r["state"])))
+        true = exact[r["event_type"]]
+        tol = max(5 * 1.04 / math.sqrt(2**13) * true, 3)
+        rows.append((r["event_type"], int(true), bool(abs(est - true) <= tol)))
+    return spark.createDataFrame(rows,
+                                 "event_type string, exact_users long, ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# CMS: heavy hitters + point-frequency bound over document tokens
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _HH_PHI = 7, 8192, 0.005
+
+
+@register("cms_heavy_tokens", f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT COUNT(*)::DOUBLE AS total FROM toks)
+SELECT token, COUNT(*)::BIGINT AS freq FROM toks
+GROUP BY token
+HAVING COUNT(*) >= CEIL({_HH_PHI} * (SELECT total FROM tot))
+""")
+def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitters with CMS candidate generation. CMS never
+    undercounts, so every true heavy hitter survives the candidate filter
+    (recall = 1); the exact-count verification join removes the
+    near-threshold false positives — output is exact, CMS does the pruning."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    total = toks.count()
+    thresh = math.ceil(_HH_PHI * total)
+    res = build_sketch(toks, "token", cms_spec(d=_CMS_D, w=_CMS_W))
+    cand = (toks.distinct()
+            .withColumn("est", cms_estimate_col(spark, res.state_bytes,
+                                                F.col("token")))
+            .where(F.col("est") >= thresh))
+    exact = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    return (cand.join(exact, "token")
+            .where(F.col("freq") >= thresh)
+            .select("token", F.col("freq").cast("long")))
+
+
+@register("cms_point_bound", """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, TRUE AS ok FROM (
+  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+  ORDER BY freq DESC, token ASC LIMIT 20
+)
+""")
+def cms_point_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-delta gate: for the top-20 tokens, exact <= est <= exact+eps*N."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    res = build_sketch(toks, "token", cms_spec(d=_CMS_D, w=_CMS_W))
+    st = res.state
+    eps = math.e / st.w
+    top = (toks.groupBy("token").agg(F.count("*").alias("freq"))
+           .orderBy(F.desc("freq"), F.asc("token")).limit(20))
+    est = top.withColumn("est", cms_estimate_col(spark, res.state_bytes,
+                                                 F.col("token")))
+    return est.select(
+        "token",
+        ((F.col("est") >= F.col("freq"))
+         & (F.col("est") <= F.col("freq") + F.lit(eps * st.n_total)))
+        .alias("ok"))
+
+
+# ---------------------------------------------------------------------------
+# KLL / t-digest: quantile rank-error gates
+# ---------------------------------------------------------------------------
+
+_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+_QS_SQL = "(VALUES (0.01),(0.25),(0.5),(0.75),(0.99))"
+
+
+@register("kll_price_quantiles", f"""
+SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM {_QS_SQL} t(q)
+""")
+def kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    res = build_sketch(li, "l_extendedprice", kll_spec(k=200))
+    est = KLL.quantile(res.state, _QS)
+    total = li.count()
+    rows = []
+    for q, v in zip(_QS, est):
+        rank = li.where(F.col("l_extendedprice") <= float(v)).count() / total
+        rows.append((float(q), bool(abs(rank - q) <= 0.015)))
+    return spark.createDataFrame(rows, "q double, ok boolean")
+
+
+@register("tdigest_value_quantiles", f"""
+SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM {_QS_SQL} t(q)
+""")
+def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketch(ev, "value", tdigest_spec(delta=200))
+    est = TDIGEST.quantile(res.state, _QS)
+    total = ev.where(F.col("value").isNotNull()).count()
+    rows = []
+    for q, v in zip(_QS, est):
+        rank = ev.where(F.col("value") <= float(v)).count() / total
+        tol = 0.005 if q in (0.01, 0.99) else 0.02
+        rows.append((float(q), bool(abs(rank - q) <= tol)))
+    return spark.createDataFrame(rows, "q double, ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# dedup / near-dup
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", """
+SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS cnt,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).select(
+        "text_hash", F.col("cnt").cast("long"), F.col("keep_id").cast("long"))
+
+
+@register("neardup_pairs", """
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - 1)])
+         ELSE [array_to_string(toks, ' ')] END AS shset
+  FROM l
+),
+e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shset) AS n FROM sh)
+SELECT inter.a, inter.b,
+       CAST(ROUND(100.0 * i / (sa.n + sb.n - i)) AS INT) AS jacc_pct
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+""")
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard verified (>= 0.5 on 3-gram
+    shingle sets). The oracle computes ALL exact pairs, so this also gates
+    LSH recall at the configured band profile."""
+    docs = _t(spark, sf_dir, "documents")
+    return verified_near_dup_pairs(docs, threshold=0.5, num_hashes=64,
+                                   bands=32, rows=2, shingle_n=3)
+
+
+@register("simhash_pairs")  # rows-only: hamming blocking isn't ANSI-SQL friendly
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=12)
+
+
+@register("doc_fingerprints")  # rows-only: rolling-hash not SQL-expressible
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_docs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register("token_stats", """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_types
+FROM documents
+""")
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("long"), F.col("n_types").cast("long"))
+
+
+_SW_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register("quality_stats", f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, x -> x IN ({_SW_SQL})))::BIGINT AS n_stopwords,
+       len(list_distinct(toks))::BIGINT AS n_types,
+       CASE WHEN length(text) >= 20 AND len(toks) >= 5
+                 AND len(list_distinct(toks)) * 100 >= len(toks) * 20
+            THEN 1 ELSE 0 END AS quality_ok
+FROM t
+""")
+def quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_chars").cast("long"), F.col("n_tokens").cast("long"),
+        F.col("n_stopwords").cast("long"), F.col("n_types").cast("long"),
+        F.col("quality_ok").cast("int"))
+
+
+@register("langid_summary")  # rows-only: the profile heuristic isn't SQL
+def langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return langid_docs(docs).groupBy("lang_pred").agg(
+        F.count("*").alias("n")).orderBy("lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register("ann_topk", """
+SELECT q_id, neighbor_id, rnk FROM (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) DESC,
+                      b.vec_id ASC) AS BIGINT) AS rnk
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 10
+) WHERE rnk <= 5
+""")
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id", F.col("rnk").cast("long"))
+
+
+@register("ann_ivf")  # rows-only: approximate by design (recall < 1)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_centroids(emb, n_centroids=16)
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, cent, k=5, nprobe=4).select(
+        "q_id", "neighbor_id", F.col("rnk").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# relational showcases (Catalyst-first: pushdown/codegen, window, decimal agg)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
+
+
+@register("events_user_seq", """
+SELECT event_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+""")
+def events_user_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", F.row_number().over(w).cast("long").alias("seq"))
