@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Extras (informational, not part of the driver contract): sketch-build
+throughput in rows/sec for the five-sketch build over lineitem, which is the
+BASELINE.json headline metric ("sketch-build throughput (docs/sec) + merge
+latency"), and the merge latency of the tree-merge stage.
+
+Reusable core: ``run_bench(sf_dir, cores)`` returns the result dict; the
+N→4N scaling script (BENCH/scaling.py) calls it at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Headline subset of the query surface: the five sketch algebras, the
+# training-data pipeline ops, similarity search, and one Catalyst showcase.
+HEADLINE = [
+    "bloom_semijoin",
+    "bloom_fpp_fn",
+    "hll_partkey",
+    "hll_users_by_type",
+    "cms_heavy_tokens",
+    "kll_price_quantiles",
+    "tdigest_value_quantiles",
+    "dedup_exact",
+    "neardup_pairs",
+    "simhash_pairs",
+    "ann_topk",
+    "webtext_extract_ok",
+    "webtext_url_bloom",
+    "webtext_host_hll",
+    "tpch_q1",
+]
+
+
+def _force(df) -> int:
+    """Materialize a result DataFrame fully (rows AND values)."""
+    return df.count()
+
+
+def sketch_build_throughput(spark, sf_dir: str) -> dict:
+    """The BASELINE.json headline: build all five sketches over lineitem
+    (the largest table) and report rows/sec + tree-merge latency."""
+    from sketchlib.agg import (bloom_spec, build_partials, build_sketch,
+                               cms_spec, hll_spec, kll_spec, tdigest_spec,
+                               tree_merge)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_rows = li.count()
+    li = li.cache()
+    li.count()  # warm cache so we measure sketch build, not parquet decode
+
+    specs = {
+        "bloom": bloom_spec(n_rows, 0.01),
+        "hll": hll_spec(p=14),
+        "cms": cms_spec(d=5, w=8192),
+        "kll": kll_spec(k=200),
+        "tdigest": tdigest_spec(delta=200),
+    }
+    col = {"bloom": "l_orderkey", "hll": "l_partkey", "cms": "l_suppkey",
+           "kll": "l_extendedprice", "tdigest": "l_extendedprice"}
+
+    t0 = time.perf_counter()
+    total_rows = 0
+    for kind, spec in specs.items():
+        res = build_sketch(li, col[kind], spec)
+        total_rows += res.n_rows
+    build_secs = time.perf_counter() - t0
+
+    # merge latency in isolation: materialize partials, time the tree merge
+    spec = specs["hll"]
+    partials = build_partials(li, "l_partkey", spec).cache()
+    num_partials = partials.count()
+    t0 = time.perf_counter()
+    tree_merge(partials, spec, num_partials, fanout=16).collect()
+    merge_secs = time.perf_counter() - t0
+    partials.unpersist()
+    li.unpersist()
+
+    return {
+        "sketch_build_rows": total_rows,
+        "sketch_build_secs": round(build_secs, 3),
+        "sketch_build_rows_per_sec": round(total_rows / build_secs, 1),
+        "tree_merge_secs": round(merge_secs, 3),
+        "num_partials": num_partials,
+    }
+
+
+def run_bench(sf_dir: str | None = None, cores: int | None = None,
+              include_queries: bool = True, spark=None) -> dict:
+    from sketchlib.packaging import ensure_shipped
+    from sketchlib.session import default_parallelism, get_spark
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR",
+                                      "/root/testdata/sf0.1")
+    cores = cores or default_parallelism()
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    ensure_shipped(spark)
+
+    from sketchlib.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    if include_queries:
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+
+    extras = sketch_build_throughput(spark, sf_dir)
+    total += extras["sketch_build_secs"] + extras["tree_merge_secs"]
+    timings["sketch_build_5x"] = extras["sketch_build_secs"]
+    timings["tree_merge"] = extras["tree_merge_secs"]
+
+    sf = 0.1
+    for tok in sf_dir.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+
+    result = {
+        "metric": "sketch_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        **extras,
+    }
+    if own_session:
+        spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

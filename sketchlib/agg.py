@@ -153,7 +153,12 @@ def build_partials_keyed(df: DataFrame, col: str, spec: SketchSpec,
     function of the row (not of Spark's physical split), so a failed run
     can rebuild exactly the missing shards (``shards_to_build``) and merge
     them with checkpointed ones — per-partition lineage stays meaningful
-    across retries and cluster sizes."""
+    across retries and cluster sizes.
+
+    Rows are sorted by value inside each shard before the update, so even
+    order-sensitive sketch states (KLL/t-digest compaction) are a pure
+    function of the shard's row SET — byte-identical across retries
+    regardless of shuffle arrival order."""
     ops = spec.ops
     sel = df.select(F.col(col).alias("__v"),
                     shard_expr(route_cols, num_shards).alias("shard"))
@@ -162,7 +167,7 @@ def build_partials_keyed(df: DataFrame, col: str, spec: SketchSpec,
 
     def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         state = spec.create()
-        vals = _series_values(pdf["__v"])
+        vals = _series_values(pdf["__v"].sort_values(kind="stable"))
         state = ops.update(state, vals)
         return pd.DataFrame({"shard": [key[0]], "state": [ops.serialize(state)],
                              "n": [len(vals)]})

@@ -1,0 +1,200 @@
+"""Resumable sketch builds: per-shard state blobs + a JSON lineage manifest.
+
+north_rule (BASELINE.json:14): "resumable from checkpoint with
+per-partition lineage + metrics".  The reference has no persistence at all
+(its filters live and die in one process); this module is the
+distributed-native replacement for re-running a lost build.
+
+Design
+------
+Shard membership is a *data* function (shard = pmod(xxhash64(route_cols),
+S), agg.build_partials_keyed), not a function of Spark's physical split —
+so a shard's partial sketch is deterministic across retries, executor
+counts and cluster sizes.  That is what makes checkpoints meaningful: a
+blob built by a dead cluster is byte-for-byte the blob a new cluster would
+build for the same shard.
+
+Layout under ``ckpt_dir``::
+
+    manifest.json            # spec, shard plan, per-shard lineage + metrics
+    partials/                # parquet (shard long, state binary, n long),
+                             # appended one batch per build round
+
+The manifest is committed atomically (tmp + os.replace) AFTER the parquet
+append succeeds, so a crash mid-write leaves at worst orphan parquet rows
+that the next run ignores (manifest is the source of truth, and rebuilt
+shards are deduplicated by keeping the manifest-listed sha).
+
+At 10^12-document scale the partials directory would be an Iceberg table
+and the manifest an Iceberg snapshot (io_iceberg.py keeps that swap behind
+one interface); the JSON+parquet emulation here has the same semantics:
+append-only data + atomically swapped pointer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .agg import PARTIAL_SCHEMA, BuildResult, SketchSpec, build_partials_keyed
+
+__all__ = ["checkpointed_build", "load_manifest", "CheckpointState"]
+
+_MANIFEST = "manifest.json"
+
+
+@dataclass
+class CheckpointState:
+    spec_kind: str
+    spec_cfg: dict
+    num_shards: int
+    route_cols: list[str]
+    value_col: str
+    shards: dict = field(default_factory=dict)  # str(shard) -> lineage dict
+    rounds: list = field(default_factory=list)  # per-run metrics
+
+    @property
+    def done(self) -> set[int]:
+        return {int(s) for s in self.shards}
+
+    @property
+    def missing(self) -> set[int]:
+        return set(range(self.num_shards)) - self.done
+
+    def compatible_with(self, spec: SketchSpec, num_shards: int,
+                        route_cols: list[str], value_col: str) -> bool:
+        return (self.spec_kind == spec.kind
+                and self.spec_cfg == dict(spec.cfg)
+                and self.num_shards == num_shards
+                and self.route_cols == list(route_cols)
+                and self.value_col == value_col)
+
+
+def load_manifest(ckpt_dir: str) -> CheckpointState | None:
+    path = os.path.join(ckpt_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        raw = json.load(f)
+    return CheckpointState(
+        spec_kind=raw["spec_kind"], spec_cfg=raw["spec_cfg"],
+        num_shards=raw["num_shards"], route_cols=raw["route_cols"],
+        value_col=raw["value_col"], shards=raw["shards"],
+        rounds=raw.get("rounds", []))
+
+
+def _save_manifest(ckpt_dir: str, state: CheckpointState) -> None:
+    path = os.path.join(ckpt_dir, _MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state.__dict__, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _partials_dir(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "partials")
+
+
+def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
+                       route_cols: list[str], num_shards: int,
+                       ckpt_dir: str,
+                       max_shards_per_run: int | None = None) -> BuildResult | None:
+    """Build (or resume) a sharded sketch with durable per-shard state.
+
+    Returns the finished BuildResult, or None when ``max_shards_per_run``
+    time-boxed the run before all shards were built (call again to
+    continue — that is the resume path a failed cluster would take).
+    """
+    spark = df.sparkSession
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = load_manifest(ckpt_dir)
+    if state is not None and not state.compatible_with(
+            spec, num_shards, route_cols, col):
+        raise ValueError(f"checkpoint at {ckpt_dir} was written for a "
+                         f"different spec/shard plan; refusing to mix")
+    if state is None:
+        state = CheckpointState(spec.kind, dict(spec.cfg), num_shards,
+                                list(route_cols), col)
+
+    missing = sorted(state.missing)
+    if missing:
+        planned = missing[:max_shards_per_run] if max_shards_per_run else missing
+        t0 = time.perf_counter()
+        fresh = build_partials_keyed(df, col, spec, route_cols, num_shards,
+                                     shards_to_build=planned)
+        fresh.write.mode("append").parquet(_partials_dir(ckpt_dir))
+        # lineage from what was actually written (authoritative read-back)
+        written = {
+            int(r["shard"]): r for r in
+            spark.read.parquet(_partials_dir(ckpt_dir))
+            .where(F.col("shard").isin([int(s) for s in planned]))
+            .collect()}
+        secs = time.perf_counter() - t0
+        built_rows = 0
+        for s in planned:
+            r = written.get(s)
+            if r is None:  # shard had zero rows -> identity sketch
+                state.shards[str(s)] = {"n": 0, "sha": None, "empty": True}
+            else:
+                blob = bytes(r["state"])
+                built_rows += int(r["n"])
+                state.shards[str(s)] = {
+                    "n": int(r["n"]),
+                    "sha": hashlib.sha256(blob).hexdigest()[:16],
+                    "bytes": len(blob),
+                }
+        state.rounds.append({
+            "shards_built": len(planned), "rows": built_rows,
+            "secs": round(secs, 3),
+            "rows_per_sec": round(built_rows / secs, 1) if secs > 0 else None,
+        })
+        _save_manifest(ckpt_dir, state)
+        if len(planned) < len(missing):
+            return None  # time-boxed: more shards remain
+
+    return _finalize(spark, spec, state, ckpt_dir)
+
+
+def _finalize(spark: SparkSession, spec: SketchSpec, state: CheckpointState,
+              ckpt_dir: str) -> BuildResult:
+    """Merge all checkpointed shards in deterministic (shard-id) order.
+
+    Duplicates (a shard rebuilt after a crash that hit between the parquet
+    append and the manifest write) are resolved by keeping the row whose
+    sha matches the manifest; shards marked empty contribute the identity
+    sketch."""
+    ops = spec.ops
+    t0 = time.perf_counter()
+    rows = spark.read.parquet(_partials_dir(ckpt_dir)).collect() \
+        if os.path.exists(_partials_dir(ckpt_dir)) else []
+    by_shard: dict[int, bytes] = {}
+    for r in rows:
+        s = int(r["shard"])
+        lineage = state.shards.get(str(s))
+        if lineage is None:
+            continue  # orphan row from an uncommitted round
+        blob = bytes(r["state"])
+        if lineage.get("sha") and \
+                hashlib.sha256(blob).hexdigest()[:16] != lineage["sha"]:
+            continue  # stale duplicate; manifest sha wins
+        by_shard[s] = blob
+
+    acc = spec.create()
+    n_rows = 0
+    for s in sorted(state.done):
+        lineage = state.shards[str(s)]
+        if lineage.get("empty"):
+            continue
+        acc = ops.merge(acc, ops.deserialize(by_shard[s]))
+        n_rows += lineage["n"]
+    secs = time.perf_counter() - t0
+    lineage_list = [{"shard": s, **state.shards[str(s)]}
+                    for s in sorted(state.done)]
+    return BuildResult(spec, ops.serialize(acc), n_rows, state.num_shards,
+                       secs, lineage_list)

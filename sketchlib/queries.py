@@ -35,6 +35,7 @@ from .agg import (
     tdigest_spec,
 )
 from .dedup import exact_dedup_groups, simhash_near_dup_pairs, verified_near_dup_pairs
+from .extract import extracted_text_col
 from .params import BloomParams, fpp_bound
 from .similarity import cosine_topk, ivf_topk, train_centroids
 from .sketch import HLL, KLL, TDIGEST
@@ -43,9 +44,11 @@ from .textops import (
     fingerprint_docs,
     langid_docs,
     quality_stats,
+    shingles_col,
     token_stats,
     tokens_col,
 )
+from .webtext import WEBPAGES_SQL, webpages
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -395,6 +398,137 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, cent, k=5, nprobe=4).select(
         "q_id", "neighbor_id", F.col("rnk").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# webtext: the input_hint Common-Crawl-style table (url, warc_ts, html,
+# text, lang) — deterministic synthesis + extractor invariant + sketches
+# over the skewed host distribution (webtext.py docstring)
+# ---------------------------------------------------------------------------
+
+@register("webtext_extract_ok", f"""
+WITH {WEBPAGES_SQL}
+SELECT url, TRUE AS ok FROM webpages
+""")
+def webtext_extract_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint per-row invariant as a gated query: extract_text(html)
+    must be byte-identical to the source text for every url."""
+    wp = webpages(spark, sf_dir)
+    return wp.select(
+        "url",
+        (extracted_text_col("html") == F.col("text")).alias("ok"))
+
+
+@register("webtext_url_bloom", f"""
+WITH {WEBPAGES_SQL}
+SELECT COUNT(*)::BIGINT AS n_urls, TRUE AS fn_ok, TRUE AS fp_ok FROM webpages
+""")
+def webtext_url_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-membership sketch over the crawl ("is url X in the crawl?"):
+    no false negatives on every crawled url; FP rate on fresh urls within
+    the published bound."""
+    wp = webpages(spark, sf_dir).select("url").cache()
+    n = wp.count()
+    res = build_sketch(wp, "url", bloom_spec(n, 0.01))
+    fn_cnt = wp.where(
+        ~bloom_contains_col(spark, res.state_bytes, F.col("url"))).count()
+    wp.unpersist()
+    n_probe = 50_000
+    fresh = spark.range(n_probe).select(
+        F.concat(F.lit("https://unseen"), F.col("id"),
+                 F.lit(".example.net/p/"), F.col("id")).alias("url"))
+    fp_cnt = fresh.where(
+        bloom_contains_col(spark, res.state_bytes, F.col("url"))).count()
+    st = res.state
+    bound = fpp_bound(st.m_bits, st.k, st.n_inserted)
+    fp_ok = fp_cnt / n_probe <= bound + 4 * math.sqrt(bound * (1 - bound) / n_probe)
+    return spark.createDataFrame([(n, fn_cnt == 0, bool(fp_ok))],
+                                 "n_urls long, fn_ok boolean, fp_ok boolean")
+
+
+@register("webtext_host_hll", f"""
+WITH {WEBPAGES_SQL}
+SELECT host_id::BIGINT AS host_id,
+       COUNT(DISTINCT url)::BIGINT AS exact_urls, TRUE AS ok
+FROM webpages GROUP BY host_id
+""")
+def webtext_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-url counts on the deliberately skewed host column
+    (host 0 = 40% of pages) through the salted two-phase HLL path — the
+    north_rule's host-domain-skew defusal, gated against exact counts."""
+    wp = webpages(spark, sf_dir)
+    grouped = sketch_grouped(wp, ["host_id"], "url", hll_spec(p=13),
+                             salt_buckets=8)
+    exact = {r["host_id"]: r["c"] for r in
+             wp.groupBy("host_id").agg(
+                 F.countDistinct("url").alias("c")).collect()}
+    rows = []
+    for r in grouped.collect():
+        est = HLL.cardinality(HLL.deserialize(bytes(r["state"])))
+        true = exact[r["host_id"]]
+        tol = max(5 * 1.04 / math.sqrt(2**13) * true, 3)
+        rows.append((int(r["host_id"]), int(true),
+                     bool(abs(est - true) <= tol)))
+    return spark.createDataFrame(rows,
+                                 "host_id long, exact_urls long, ok boolean")
+
+
+@register("webtext_shingle_bloom", f"""
+WITH {WEBPAGES_SQL},
+l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM webpages),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - 1)])
+         ELSE [array_to_string(toks, ' ')] END AS shset
+  FROM l
+)
+SELECT COUNT(DISTINCT s)::BIGINT AS n_shingles, TRUE AS fn_ok
+FROM (SELECT unnest(shset) AS s FROM sh)
+""")
+def webtext_shingle_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-shingle membership sketch (north_star: "url/text-shingle
+    membership"): Bloom over all distinct 3-gram shingles of the crawl;
+    probing every shingle back must produce zero false negatives."""
+    wp = webpages(spark, sf_dir)
+    sh = wp.select(
+        F.explode(shingles_col(tokens_col("text"), 3)).alias("s")).distinct().cache()
+    n = sh.count()
+    res = build_sketch(sh, "s", bloom_spec(n, 0.01))
+    fn_cnt = sh.where(
+        ~bloom_contains_col(spark, res.state_bytes, F.col("s"))).count()
+    sh.unpersist()
+    return spark.createDataFrame([(n, fn_cnt == 0)],
+                                 "n_shingles long, fn_ok boolean")
+
+
+_HOST_PHI = 0.05
+
+
+@register("webtext_heavy_hosts", f"""
+WITH {WEBPAGES_SQL},
+tot AS (SELECT COUNT(*)::DOUBLE AS total FROM webpages)
+SELECT host_id::BIGINT AS host_id, COUNT(*)::BIGINT AS n_pages
+FROM webpages GROUP BY host_id
+HAVING COUNT(*) >= CEIL({_HOST_PHI} * (SELECT total FROM tot))
+""")
+def webtext_heavy_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter hosts via CMS candidate pruning + exact verification
+    (same recall-1 pattern as cms_heavy_tokens) — finds the Zipf head of
+    the host distribution without a full exact groupBy on the raw rows."""
+    wp = webpages(spark, sf_dir).select(F.col("host_id").cast("long"))
+    total = wp.count()
+    thresh = math.ceil(_HOST_PHI * total)
+    res = build_sketch(wp, "host_id", cms_spec(d=5, w=4096))
+    cand = (wp.distinct()
+            .withColumn("est", cms_estimate_col(spark, res.state_bytes,
+                                                F.col("host_id")))
+            .where(F.col("est") >= thresh))
+    exact = wp.groupBy("host_id").agg(F.count("*").alias("n_pages"))
+    return (cand.join(exact, "host_id")
+            .where(F.col("n_pages") >= thresh)
+            .select("host_id", F.col("n_pages").cast("long")))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,112 @@
+"""Checkpoint/resume: per-shard lineage, byte-identical resumed builds
+(SURVEY §5.8): kill after K of P shards -> resume completes with the
+identical final sketch bytes and a correct manifest."""
+
+import json
+import os
+
+import pytest
+
+from sketchlib.agg import bloom_spec, kll_spec
+from sketchlib.checkpoint import checkpointed_build, load_manifest
+from sketchlib.sketch import HLL, KLL
+
+SHARDS = 12
+ROUTE = ["l_orderkey"]
+
+
+def _li(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+
+
+def _run_incremental(df, col, spec, ckpt_dir, step):
+    """Simulated crash-loop: each call is a fresh 'cluster' that builds at
+    most ``step`` shards then dies; resume until finished."""
+    rounds = 0
+    while True:
+        res = checkpointed_build(df, col, spec, route_cols=ROUTE,
+                                 num_shards=SHARDS, ckpt_dir=ckpt_dir,
+                                 max_shards_per_run=step)
+        rounds += 1
+        if res is not None:
+            return res, rounds
+
+
+@pytest.mark.parametrize("col,spec_fn", [
+    ("l_orderkey", lambda n: bloom_spec(n, 0.01)),
+    ("l_extendedprice", lambda n: kll_spec(k=160)),
+])
+def test_resume_matches_one_shot_byte_identical(spark, sf_smoke, tmp_path,
+                                                col, spec_fn):
+    df = _li(spark, sf_smoke)
+    spec = spec_fn(df.count())
+
+    one_shot = checkpointed_build(df, col, spec, route_cols=ROUTE,
+                                  num_shards=SHARDS,
+                                  ckpt_dir=str(tmp_path / "a"))
+    resumed, rounds = _run_incremental(df, col, spec, str(tmp_path / "b"),
+                                       step=5)
+    assert rounds == 3  # 5 + 5 + 2 shards
+    assert resumed.state_bytes == one_shot.state_bytes
+    assert resumed.n_rows == one_shot.n_rows == df.where(
+        f"{col} is not null").count()
+
+
+def test_manifest_lineage_and_metrics(spark, sf_smoke, tmp_path):
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "c")
+    res = checkpointed_build(df, "l_partkey", bloom_spec(df.count(), 0.01),
+                             route_cols=ROUTE, num_shards=SHARDS,
+                             ckpt_dir=ckpt)
+    m = load_manifest(ckpt)
+    assert m is not None and m.done == set(range(SHARDS))
+    assert sum(v["n"] for v in m.shards.values()) == res.n_rows
+    assert all(v["sha"] for v in m.shards.values() if not v.get("empty"))
+    assert m.rounds and m.rounds[0]["rows_per_sec"] > 0
+    # manifest is valid json on disk (atomic replace target)
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        json.load(f)
+    # lineage surfaces on the result too
+    assert len(res.shard_lineage) == SHARDS
+
+
+def test_incompatible_spec_refused(spark, sf_smoke, tmp_path):
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "d")
+    checkpointed_build(df, "l_orderkey", bloom_spec(1000, 0.01),
+                       route_cols=ROUTE, num_shards=SHARDS, ckpt_dir=ckpt,
+                       max_shards_per_run=2)
+    with pytest.raises(ValueError, match="different spec"):
+        checkpointed_build(df, "l_orderkey", bloom_spec(2000, 0.01),
+                           route_cols=ROUTE, num_shards=SHARDS, ckpt_dir=ckpt)
+
+
+def test_stale_duplicate_rows_ignored(spark, sf_smoke, tmp_path):
+    """Crash between parquet append and manifest commit leaves orphan rows;
+    the manifest sha must win over any stale/garbage duplicate."""
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "e")
+    spec = bloom_spec(df.count(), 0.01)
+    clean = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                               num_shards=SHARDS, ckpt_dir=ckpt)
+    # inject a garbage duplicate blob for shard 0
+    junk = spec.ops.serialize(spec.create())
+    spark.createDataFrame([(0, junk, 999)], "shard long, state binary, n long") \
+        .write.mode("append").parquet(os.path.join(ckpt, "partials"))
+    again = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                               num_shards=SHARDS, ckpt_dir=ckpt)
+    assert again.state_bytes == clean.state_bytes
+
+
+def test_resume_is_noop_when_complete(spark, sf_smoke, tmp_path):
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "f")
+    spec = bloom_spec(df.count(), 0.01)
+    first = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                               num_shards=SHARDS, ckpt_dir=ckpt)
+    m1 = load_manifest(ckpt)
+    second = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                                num_shards=SHARDS, ckpt_dir=ckpt)
+    m2 = load_manifest(ckpt)
+    assert second.state_bytes == first.state_bytes
+    assert m1.rounds == m2.rounds  # no new build round ran

@@ -1,0 +1,107 @@
+"""Webtext layer: deterministic web-page synthesis + extractor invariant.
+
+Pins the input_hint contract (BASELINE.json:15): table shape
+(url, warc_ts, html, text, lang), byte-identical extracted text per url,
+determinism across runs and parallelism levels (SURVEY §5.7).
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchlib.extract import extract_text, extracted_text_col
+from sketchlib.webtext import CANON_COLS, webpages
+
+
+# ---------------------------------------------------------------------------
+# pure-python extractor: golden cases, no Spark
+# ---------------------------------------------------------------------------
+
+GOLDEN = [
+    # (html, expected_text)
+    ('<html><head><title>T</title></head><body><p>hello</p></body></html>',
+     "hello"),
+    # escaped entities round-trip
+    ('<html><body><p>a &amp; b &lt;tag&gt; c</p></body></html>',
+     "a & b <tag> c"),
+    # script/style content must not leak
+    ('<html><body><script>var x=1;</script><p>kept</p>'
+     '<style>p{}</style></body></html>', "kept"),
+    # head content (title) must not leak
+    ('<html><head><title>skip me</title></head><body>body text</body></html>',
+     "body text"),
+    # nothing outside body
+    ('<html>stray<body>inner</body>trailing</html>', "inner"),
+    # bytes input + utf-8
+    ('<html><body><p>café — über</p></body></html>',
+     "café — über"),
+]
+
+
+@pytest.mark.parametrize("html,expected", GOLDEN)
+def test_extract_golden(html, expected):
+    assert extract_text(html) == expected
+    assert extract_text(html.encode("utf-8")) == expected
+
+
+def test_extract_null_and_empty():
+    assert extract_text(None) == ""
+    assert extract_text("") == ""
+    assert extract_text(b"") == ""
+
+
+def test_extract_deterministic_repeat():
+    html = GOLDEN[1][0]
+    assert len({extract_text(html) for _ in range(50)}) == 1
+
+
+# ---------------------------------------------------------------------------
+# Spark: table shape, synthesis determinism, byte-identity at scale
+# ---------------------------------------------------------------------------
+
+def test_webpages_schema(spark, sf_smoke):
+    wp = webpages(spark, sf_smoke, canon_only=True)
+    assert [f.name for f in wp.schema.fields] == CANON_COLS
+    types = {f.name: f.dataType.simpleString() for f in wp.schema.fields}
+    assert types == {"url": "string", "warc_ts": "timestamp",
+                     "html": "binary", "text": "string", "lang": "string"}
+
+
+def test_webpages_deterministic_across_sessions(spark, sf_smoke):
+    a = sorted((r["url"], bytes(r["html"])) for r in
+               webpages(spark, sf_smoke).collect())
+    b = sorted((r["url"], bytes(r["html"])) for r in
+               webpages(spark, sf_smoke).collect())
+    assert a == b
+    # urls are unique (one page per doc)
+    assert len({u for u, _ in a}) == len(a)
+
+
+def test_extract_byte_identity_all_rows(spark, sf_test):
+    wp = webpages(spark, sf_test)
+    bad = (wp.withColumn("ext", extracted_text_col("html"))
+           .where(F.col("ext") != F.col("text")).count())
+    assert bad == 0
+
+
+def test_extract_invariant_under_repartition(spark, sf_test):
+    """Parallelism-level independence: extraction after an 11-way round-robin
+    repartition produces the identical url->text mapping."""
+    wp = webpages(spark, sf_test)
+    base = {r["url"]: r["t"] for r in
+            wp.select("url", extracted_text_col("html").alias("t")).collect()}
+    repart = {r["url"]: r["t"] for r in
+              wp.repartition(11)
+              .select("url", extracted_text_col("html").alias("t")).collect()}
+    assert base == repart
+
+
+def test_host_skew_present(spark, sf_test):
+    """The deliberate Zipf head: host 0 owns ~40% of pages (webtext.py)."""
+    wp = webpages(spark, sf_test)
+    total = wp.count()
+    top = wp.groupBy("host_id").count().orderBy(F.desc("count")).first()
+    assert top["host_id"] == 0
+    assert 0.35 <= top["count"] / total <= 0.45
