@@ -53,35 +53,34 @@ def _force(df) -> int:
 
 def sketch_build_throughput(spark, sf_dir: str) -> dict:
     """The BASELINE.json headline: build all five sketches over lineitem
-    (the largest table) and report rows/sec + tree-merge latency."""
-    from sketchlib.agg import (bloom_spec, build_partials, build_sketch,
+    (the largest table) and report rows/sec + tree-merge latency.  Uses the
+    single-pass multi-build (one scan feeds all five) with shards = 2x cores
+    — the sf0.1 parquet arrives as only ~3 splits, which would cap
+    parallelism at 3 tasks."""
+    from sketchlib.agg import (bloom_spec, build_partials, build_sketches,
                                cms_spec, hll_spec, kll_spec, tdigest_spec,
                                tree_merge)
+    from sketchlib.session import default_parallelism
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_rows = li.count()
     li = li.cache()
     li.count()  # warm cache so we measure sketch build, not parquet decode
 
-    specs = {
-        "bloom": bloom_spec(n_rows, 0.01),
-        "hll": hll_spec(p=14),
-        "cms": cms_spec(d=5, w=8192),
-        "kll": kll_spec(k=200),
-        "tdigest": tdigest_spec(delta=200),
-    }
-    col = {"bloom": "l_orderkey", "hll": "l_partkey", "cms": "l_suppkey",
-           "kll": "l_extendedprice", "tdigest": "l_extendedprice"}
+    cols_specs = [("l_orderkey", bloom_spec(n_rows, 0.01)),
+                  ("l_partkey", hll_spec(p=14)),
+                  ("l_suppkey", cms_spec(d=5, w=8192)),
+                  ("l_extendedprice", kll_spec(k=200)),
+                  ("l_extendedprice", tdigest_spec(delta=200))]
 
     t0 = time.perf_counter()
-    total_rows = 0
-    for kind, spec in specs.items():
-        res = build_sketch(li, col[kind], spec)
-        total_rows += res.n_rows
+    results = build_sketches(li, cols_specs,
+                             num_shards=2 * default_parallelism())
+    total_rows = sum(r.n_rows for r in results)
     build_secs = time.perf_counter() - t0
+    spec = cols_specs[1][1]
 
     # merge latency in isolation: materialize partials, time the tree merge
-    spec = specs["hll"]
     partials = build_partials(li, "l_partkey", spec).cache()
     num_partials = partials.count()
     t0 = time.perf_counter()

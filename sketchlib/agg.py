@@ -46,7 +46,7 @@ from .sketch import KINDS, deserialize_any, peek_kind
 __all__ = [
     "SketchSpec", "bloom_spec", "hll_spec", "cms_spec", "kll_spec",
     "tdigest_spec", "build_partials", "build_partials_keyed", "shard_expr",
-    "tree_merge", "build_sketch",
+    "tree_merge", "build_sketch", "build_sketches",
     "sketch_grouped", "bloom_contains_col", "cms_estimate_col",
     "BuildResult",
 ]
@@ -273,21 +273,114 @@ def build_sketch(df: DataFrame, col: str, spec: SketchSpec, *,
 
 
 # ---------------------------------------------------------------------------
+# multi-sketch single-pass build (one scan feeds every sketch)
+# ---------------------------------------------------------------------------
+
+_MULTI_SCHEMA = "idx int, shard long, state binary, n long"
+
+
+def build_sketches(df: DataFrame, cols_specs: list[tuple[str, SketchSpec]],
+                   num_shards: int | None = None,
+                   fanout: int = 16) -> list[BuildResult]:
+    """Build MANY sketches in ONE scan: at 100 TB the scan dominates, so
+    k sketches over the same table must not cost k scans.  Each partition
+    emits k partial states per pass; the tree merge runs per sketch index
+    inside one shuffle (groupBy(idx, shard) — idx rides along as a grouping
+    column, no extra stage per sketch)."""
+    aliases = [F.col(c).alias(f"__v{i}") for i, (c, _) in enumerate(cols_specs)]
+    sel = df.select(*aliases)
+    if num_shards is not None:
+        sel = sel.repartition(num_shards)
+    specs = [spec for _, spec in cols_specs]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        states = [s.create() for s in specs]
+        ns = [0] * len(specs)
+        for pdf in batches:
+            for i, spec in enumerate(specs):
+                vals = _series_values(pdf[f"__v{i}"])
+                ns[i] += len(vals)
+                states[i] = spec.ops.update(states[i], vals)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({
+            "idx": np.arange(len(specs), dtype=np.int32),
+            "shard": np.full(len(specs), pid, np.int64),
+            "state": [spec.ops.serialize(st) for spec, st in zip(specs, states)],
+            "n": np.asarray(ns, np.int64),
+        })
+
+    t0 = time.perf_counter()
+    current = sel.mapInPandas(build, _MULTI_SCHEMA)
+    num_partials = num_shards if num_shards is not None \
+        else df.rdd.getNumPartitions()
+
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ops = specs[key[0]].ops
+        acc = reduce(ops.merge, [ops.deserialize(b) for b in pdf["state"]])
+        return pd.DataFrame({"idx": [key[0]], "shard": [key[1]],
+                             "state": [ops.serialize(acc)],
+                             "n": [int(pdf["n"].sum())]})
+
+    remaining = max(1, num_partials)
+    while remaining > fanout:
+        current = (
+            current.withColumn("shard", (F.col("shard") / fanout).cast("long"))
+            .groupBy("idx", "shard")
+            .applyInPandas(merge_group, _MULTI_SCHEMA)
+        )
+        remaining = math.ceil(remaining / fanout)
+
+    rows = current.collect()
+    secs = time.perf_counter() - t0
+    results: list[BuildResult] = []
+    for i, spec in enumerate(specs):
+        ops = spec.ops
+        mine = [r for r in rows if r["idx"] == i]
+        if not mine:
+            state, n_rows = spec.create(), 0
+        else:
+            state = reduce(ops.merge,
+                           [ops.deserialize(bytes(r["state"])) for r in mine])
+            n_rows = sum(int(r["n"]) for r in mine)
+        results.append(BuildResult(spec, ops.serialize(state), n_rows,
+                                   num_partials, secs))
+    return results
+
+
+# ---------------------------------------------------------------------------
 # grouped sketches (one sketch per key) with explicit salting
 # ---------------------------------------------------------------------------
 
 def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
-                   spec: SketchSpec, salt_buckets: int = 8) -> DataFrame:
-    """Per-group sketch states via two-phase salted aggregation.
+                   spec: SketchSpec, salt_buckets: int = 8,
+                   strategy: str = "shuffle") -> DataFrame:
+    """Per-group sketch states with explicit skew handling.  Two physical
+    strategies, both returning DataFrame(group_cols..., state binary, n long):
 
-    Phase 1 groups by (group_cols, salt) where salt = spark_partition_id % B:
-    a hot group's rows — which span many input partitions — fan out over up
-    to B phase-1 tasks instead of melting one executor.  Phase 2 merges the
-    ≤B partials per group (tiny shuffle: B states per group, not B rows).
-    This is the explicit skew defusal the north_rule requires because AQE's
-    skew-join splitting does not apply to applyInPandas groups.
-    Returns DataFrame(group_cols..., state binary, n long).
+    ``shuffle`` (default) — two-phase SALTED aggregation.  Phase 1 groups by
+    (group_cols, salt) where salt = spark_partition_id % B: a hot group's
+    rows — which span many input partitions — fan out over up to B phase-1
+    tasks instead of melting one executor.  Phase 2 merges the ≤B partials
+    per group (tiny shuffle: B states per group, not B rows).  This is the
+    explicit skew defusal the north_rule requires because AQE's skew-join
+    splitting does not apply to applyInPandas groups.  Right choice when
+    group cardinality is high (per-group state tables would not fit in a
+    task) — the raw rows must shuffle anyway.
+
+    ``local_combine`` — map-side combine: each input partition builds one
+    state per group it sees (mapInPandas, NO shuffle of raw rows), then a
+    single groupBy(group) merges ≤P tiny states per group.  At 10^12 rows
+    and low group cardinality (e.g. ~200 hosts) this shuffles P×G sketch
+    blobs instead of 10^12 rows — the only strategy that survives that
+    scale.  Skew is a non-issue by construction: every partition contributes
+    equally regardless of which group its rows belong to.
     """
+    if strategy == "local_combine":
+        return _sketch_grouped_local(df, group_cols, value_col, spec)
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
     ops = spec.ops
     gcols = list(group_cols)
 
@@ -312,6 +405,49 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
         return pd.DataFrame(row)
 
     partials = salted.groupBy(*gcols, "__salt").applyInPandas(build_group, partial_schema)
+
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [ops.deserialize(b) for b in pdf["state"]]
+        acc = reduce(ops.merge, states)
+        row = {c: [key[i]] for i, c in enumerate(gcols)}
+        row["state"] = [ops.serialize(acc)]
+        row["n"] = [int(pdf["n"].sum())]
+        return pd.DataFrame(row)
+
+    return partials.groupBy(*gcols).applyInPandas(merge_group, final_schema)
+
+
+def _sketch_grouped_local(df: DataFrame, group_cols: list[str],
+                          value_col: str, spec: SketchSpec) -> DataFrame:
+    """map-side-combine strategy for sketch_grouped (see its docstring)."""
+    ops = spec.ops
+    gcols = list(group_cols)
+    schema_fields = [f"`{f_.name}` {f_.dataType.simpleString()}"
+                     for f_ in df.select(*gcols).schema.fields]
+    partial_schema = ", ".join(schema_fields + ["state binary", "n long"])
+    final_schema = partial_schema
+
+    sel = df.select(*gcols, F.col(value_col).alias("__v"))
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, list] = {}  # group key -> [state, n]
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
+                k = key if isinstance(key, tuple) else (key,)
+                vals = _series_values(sub["__v"])
+                ent = acc.get(k)
+                if ent is None:
+                    ent = acc[k] = [spec.create(), 0]
+                ent[0] = ops.update(ent[0], vals)
+                ent[1] += len(vals)
+        if acc:
+            keys = list(acc)
+            out = {c: [k[i] for k in keys] for i, c in enumerate(gcols)}
+            out["state"] = [ops.serialize(acc[k][0]) for k in keys]
+            out["n"] = [acc[k][1] for k in keys]
+            yield pd.DataFrame(out)
+
+    partials = sel.mapInPandas(combine, partial_schema)
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         states = [ops.deserialize(b) for b in pdf["state"]]

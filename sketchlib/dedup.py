@@ -18,6 +18,7 @@ At 100 TB: every stage is a narrow map or a shuffle on a bounded-width key
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -92,12 +93,22 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16, rows: int = 4) -> DataFrame:
+                        bands: int = 16, rows: int = 4,
+                        min_est_jaccard: float | None = None) -> DataFrame:
     """(a, b) candidate pairs from LSH banding: a pair collides if any band
     of ``rows`` consecutive signature slots matches exactly.  Probability a
-    pair with Jaccard s collides: 1 - (1 - s^rows)^bands."""
+    pair with Jaccard s collides: 1 - (1 - s^rows)^bands.
+
+    ``min_est_jaccard`` adds a JVM-side pre-filter on the MinHash Jaccard
+    ESTIMATE (matching signature slots / num_hashes) before any pair leaves
+    the join: with H=64 hashes the estimate's σ = √(s(1-s)/64) ≤ 0.0625,
+    so a cut 4-5σ below the verification threshold prunes the flood of
+    low-similarity band collisions (the dominant cost of a low-``rows``
+    high-recall profile) while keeping P(losing a true pair) < 1e-6.
+    The exact verification join still decides membership — this only
+    shrinks its input."""
     banded = sig_df.select(
-        F.col(id_col),
+        F.col(id_col), F.col("sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -110,15 +121,21 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
-        left.join(right,
-                  (F.col("l.band") == F.col("r.band"))
-                  & (F.col("l.band_hash") == F.col("r.band_hash"))
-                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
-    )
-    return pairs
+    joined = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+    if min_est_jaccard is not None:
+        n_hashes = F.size(F.col("l.sig"))
+        matches = F.size(F.filter(
+            F.zip_with("l.sig", "r.sig", lambda x, y: x == y),
+            lambda eq: eq))
+        joined = joined.where(matches >= F.lit(min_est_jaccard) * n_hashes)
+    return (joined
+            .select(F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"))
+            .distinct())
 
 
 def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -130,7 +147,11 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     verification join removes LSH false positives entirely (emitted pairs
     are exact), leaving recall as the only approximation."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    # estimate cut 4-5σ under the exact threshold (σ ≤ 1/(2√H)): prunes
+    # low-similarity band collisions, keeps true-pair loss < 1e-6
+    est_cut = max(0.0, threshold - 2.5 / math.sqrt(num_hashes))
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows,
+                                min_est_jaccard=est_cut)
     shset = df.select(
         F.col(id_col),
         F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)).alias("sh"),

@@ -83,3 +83,29 @@ def extracted_text_col(html_col: str | Column = "html") -> Column:
     column."""
     col = F.col(html_col) if isinstance(html_col, str) else html_col
     return _extract_udf(col)
+
+
+def extract_project(df, verify_col: str = "text",
+                    keep_cols: tuple[str, ...] = ("url", "host_id")):
+    """Fused extract + verify + project in ONE python pass:
+    (html, text, keep_cols...) -> (keep_cols..., n_chars, ok).
+
+    At scale this is the shape that matters: the html payload crosses the
+    JVM->python boundary exactly once, the verification compare happens in
+    the same batch, and only narrow columns come back — instead of an
+    extract stage followed by a second scan for the projection.
+    """
+    from typing import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            extracted = pdf["html"].map(extract_text)
+            out = {c: pdf[c] for c in keep_cols}
+            out["n_chars"] = extracted.str.len().astype("int64")
+            out["ok"] = (extracted == pdf[verify_col]).to_numpy()
+            yield pd.DataFrame(out)
+
+    keep_types = dict(df.dtypes)
+    schema = ", ".join([f"{c} {keep_types[c]}" for c in keep_cols]
+                       + ["n_chars long", "ok boolean"])
+    return df.select("html", verify_col, *keep_cols).mapInPandas(run, schema)

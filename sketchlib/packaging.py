@@ -12,8 +12,12 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_pyfiles_zip(out_path: str | None = None) -> str:
-    """Zip the sketchlib package for --py-files / addPyFile."""
-    out_path = out_path or os.path.join("/tmp", "sketchlib_pyfiles.zip")
+    """Zip the sketchlib package for --py-files / addPyFile.  The default
+    name is per-process: a shared fixed path lets a concurrent Spark JVM
+    observe the file changing mid-fetch (executor 'SparkEnv.get() is null'
+    fetch failures)."""
+    out_path = out_path or os.path.join(
+        "/tmp", f"sketchlib_pyfiles_{os.getpid()}.zip")
     pkg_dir = os.path.join(_REPO_ROOT, "sketchlib")
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):

@@ -1,0 +1,116 @@
+"""Structured-Streaming sketch builds: incremental, exactly-once, mergeable.
+
+The reference is batch-only (build, flush, then query — SURVEY §3.2); a
+crawl is a stream.  Because every sketch here is a commutative monoid
+(create/update/merge), streaming ingestion is just ``foreachBatch``:
+
+    micro-batch rows -> per-partition partials (same kernels as batch)
+                     -> merged into the running state
+                     -> state + lineage committed atomically per batch
+
+Exactly-once: the committed state file records the last applied batch id;
+a replayed micro-batch (failure/retry semantics of foreachBatch are
+at-least-once) is detected and skipped, so the running sketch never
+double-counts — for Bloom/HLL double-update is harmless (idempotent OR /
+max), but CMS counts and KLL ranks would drift.
+
+This is the streaming face of checkpoint.py's batch resume: both persist
+(state, lineage) snapshots a fresh process can continue from.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+from .agg import SketchSpec, build_partials
+
+__all__ = ["StreamingSketch"]
+
+
+class StreamingSketch:
+    """Accumulates one sketch over a streaming DataFrame via foreachBatch.
+
+    Usage::
+
+        ss = StreamingSketch(spec, "/ckpt/stream_hll", col="user_id")
+        q = (events_stream.writeStream.outputMode("append")
+             .foreachBatch(ss.process_batch)
+             .option("checkpointLocation", "/ckpt/stream_hll/spark")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        state = ss.state          # merged sketch, durable across restarts
+    """
+
+    def __init__(self, spec: SketchSpec, state_dir: str, col: str):
+        self.spec = spec
+        self.col = col
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+        self._path = os.path.join(state_dir, "sketch_state.json")
+        self._load()
+
+    # -- durable state -------------------------------------------------------
+    def _load(self) -> None:
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                raw = json.load(f)
+            if raw["kind"] != self.spec.kind or raw["cfg"] != dict(self.spec.cfg):
+                raise ValueError(f"state at {self._path} was written for a "
+                                 f"different sketch spec")
+            self._state_bytes = bytes.fromhex(raw["state_hex"])
+            self.n_rows = raw["n_rows"]
+            self.last_batch_id = raw["last_batch_id"]
+            self.batches = raw["batches"]
+        else:
+            self._state_bytes = self.spec.ops.serialize(self.spec.create())
+            self.n_rows = 0
+            self.last_batch_id = -1
+            self.batches = []
+
+    def _commit(self) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "kind": self.spec.kind, "cfg": dict(self.spec.cfg),
+                "state_hex": self._state_bytes.hex(),
+                "n_rows": self.n_rows,
+                "last_batch_id": self.last_batch_id,
+                "batches": self.batches,
+            }, f)
+        os.replace(tmp, self._path)
+
+    # -- the foreachBatch hook -------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return  # replayed micro-batch: already folded in, skip
+        t0 = time.perf_counter()
+        ops = self.spec.ops
+        rows = build_partials(batch_df, self.col, self.spec).collect()
+        if rows:
+            states = [ops.deserialize(bytes(r["state"])) for r in rows]
+            batch_state = reduce(ops.merge, states)
+            merged = ops.merge(ops.deserialize(self._state_bytes), batch_state)
+            self._state_bytes = ops.serialize(merged)
+            self.n_rows += sum(int(r["n"]) for r in rows)
+        self.last_batch_id = batch_id
+        self.batches.append({
+            "batch_id": batch_id,
+            "rows": sum(int(r["n"]) for r in rows) if rows else 0,
+            "partials": len(rows),
+            "secs": round(time.perf_counter() - t0, 3),
+        })
+        self._commit()
+
+    # -- results ---------------------------------------------------------------
+    @property
+    def state(self):
+        return self.spec.ops.deserialize(self._state_bytes)
+
+    @property
+    def state_bytes(self) -> bytes:
+        return self._state_bytes

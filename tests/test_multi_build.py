@@ -1,0 +1,70 @@
+"""Single-pass multi-sketch build and grouped-aggregation strategies:
+the scan-sharing and shuffle-avoidance paths must produce states
+equivalent to the reference single-sketch pipeline."""
+
+from pyspark.sql import functions as F
+
+from sketchlib.agg import (bloom_spec, build_sketch, build_sketches,
+                           cms_spec, hll_spec, kll_spec, sketch_grouped,
+                           tdigest_spec)
+from sketchlib.sketch import HLL, KLL, TDIGEST
+
+
+def test_multi_build_matches_single_builds(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    n = li.count()
+    cols_specs = [("l_orderkey", bloom_spec(n, 0.01)),
+                  ("l_partkey", hll_spec(p=13)),
+                  ("l_suppkey", cms_spec(d=5, w=2048))]
+    multi = build_sketches(li, cols_specs)
+    # commutative algebras (OR / max / +): byte-identical to the
+    # one-sketch-per-scan pipeline
+    for (col, spec), got in zip(cols_specs, multi):
+        single = build_sketch(li, col, spec)
+        assert got.state_bytes == single.state_bytes
+        assert got.n_rows == single.n_rows
+
+
+def test_multi_build_order_sensitive_equivalent(spark, sf_smoke):
+    """KLL/t-digest merge order may differ between the two pipelines, so
+    equivalence is estimate-within-bound, not byte equality."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    total = li.count()
+    (kll_res, td_res) = build_sketches(
+        li, [("l_extendedprice", kll_spec(k=200)),
+             ("l_extendedprice", tdigest_spec(delta=200))])
+    for med in (float(KLL.quantile(kll_res.state, [0.5])[0]),
+                float(TDIGEST.quantile(td_res.state, [0.5])[0])):
+        rank = li.where(F.col("l_extendedprice") <= med).count() / total
+        assert abs(rank - 0.5) <= 0.03
+
+
+def test_multi_build_forced_shards(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    n = li.count()
+    (res,) = build_sketches(li, [("l_orderkey", bloom_spec(n, 0.01))],
+                            num_shards=17)
+    baseline = build_sketch(li, "l_orderkey", bloom_spec(n, 0.01))
+    assert res.state_bytes == baseline.state_bytes  # OR is placement-free
+    assert res.num_partials == 17
+
+
+def test_grouped_strategies_agree(spark, sf_smoke):
+    """local_combine (map-side combine, shuffle states) and shuffle
+    (salted two-phase) must produce identical per-group HLL registers —
+    max-merge is order- and placement-independent."""
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    a = {r["event_type"]: bytes(r["state"]) for r in
+         sketch_grouped(ev, ["event_type"], "user_id", hll_spec(p=12),
+                        strategy="shuffle").collect()}
+    b = {r["event_type"]: bytes(r["state"]) for r in
+         sketch_grouped(ev, ["event_type"], "user_id", hll_spec(p=12),
+                        strategy="local_combine").collect()}
+    assert a == b
+    # and the estimates stay within the HLL bound
+    exact = {r["event_type"]: r["c"] for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("c")).collect()}
+    for et, blob in a.items():
+        est = HLL.cardinality(HLL.deserialize(blob))
+        assert abs(est - exact[et]) <= max(5 * 1.04 / (2**12) ** 0.5 * exact[et], 3)

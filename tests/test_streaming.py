@@ -1,0 +1,86 @@
+"""Streaming sketch builds: incremental foreachBatch accumulation must
+equal the batch build (commutative merge), survive restarts, and skip
+replayed micro-batches exactly-once."""
+
+import glob
+import os
+import shutil
+
+from sketchlib.agg import build_sketch, hll_spec, cms_spec
+from sketchlib.sketch import HLL
+from sketchlib.streaming import StreamingSketch
+
+
+def _stream_events(spark, src_dir, ss, spark_ckpt):
+    batch = spark.read.parquet(src_dir)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(ss.process_batch)
+         .option("checkpointLocation", spark_ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def _multi_file_copy(spark, sf_smoke, tmp_path, n_copies=4):
+    """Split events into several files so the file source yields several
+    micro-batches (maxFilesPerTrigger=1)."""
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_smoke}/events.parquet") \
+        .repartition(n_copies).write.parquet(src)
+    return src
+
+
+def test_stream_equals_batch(spark, sf_smoke, tmp_path):
+    src = _multi_file_copy(spark, sf_smoke, tmp_path)
+    spec = hll_spec(p=13)
+    ss = StreamingSketch(spec, str(tmp_path / "state"), col="user_id")
+    _stream_events(spark, src, ss, str(tmp_path / "sck"))
+
+    assert len(ss.batches) >= 2  # really went through multiple micro-batches
+    batch_res = build_sketch(spark.read.parquet(src), "user_id", spec)
+    # HLL merge is max: stream-accumulated state == batch state bytes
+    assert ss.state_bytes == batch_res.state_bytes
+    assert ss.n_rows == batch_res.n_rows
+
+
+def test_stream_resume_after_restart(spark, sf_smoke, tmp_path):
+    src = _multi_file_copy(spark, sf_smoke, tmp_path)
+    spec = cms_spec(d=5, w=1024)
+    state_dir = str(tmp_path / "state")
+
+    # first run: only some of the files (simulate a crash mid-stream by
+    # streaming a prefix directory)
+    part = str(tmp_path / "partial")
+    os.makedirs(part)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    for f in files[:2]:
+        shutil.copy(f, part)
+    ss1 = StreamingSketch(spec, state_dir, col="event_type")
+    _stream_events(spark, part, ss1, str(tmp_path / "sck1"))
+    seen_batches = ss1.last_batch_id
+
+    # "restart": new object, same durable state; stream the full dir with a
+    # fresh spark checkpoint -> earlier rows arrive again as NEW batch ids,
+    # so we must not reuse the old spark checkpoint... instead replay-skip
+    # is exercised by re-running the SAME stream checkpoint (no new data).
+    ss2 = StreamingSketch(spec, state_dir, col="event_type")
+    assert ss2.last_batch_id == seen_batches
+    assert ss2.state_bytes == ss1.state_bytes
+    _stream_events(spark, part, ss2, str(tmp_path / "sck1"))  # same ckpt
+    assert ss2.last_batch_id == seen_batches  # nothing new -> no change
+    assert ss2.state_bytes == ss1.state_bytes
+
+
+def test_replayed_batch_skipped(spark, sf_smoke, tmp_path):
+    """Manual replay: calling process_batch twice with one batch id must
+    fold the rows in exactly once (CMS would double-count otherwise)."""
+    spec = cms_spec(d=5, w=1024)
+    ss = StreamingSketch(spec, str(tmp_path / "state"), col="event_type")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    ss.process_batch(ev, 0)
+    n_after_first = ss.n_rows
+    ss.process_batch(ev, 0)  # replay
+    assert ss.n_rows == n_after_first
+    ss.process_batch(ev, 1)  # genuinely new batch
+    assert ss.n_rows == 2 * n_after_first

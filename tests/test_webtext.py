@@ -98,6 +98,21 @@ def test_extract_invariant_under_repartition(spark, sf_test):
     assert base == repart
 
 
+def test_extract_project_fused(spark, sf_test):
+    """Fused extract+verify+project pass agrees with the column-UDF path."""
+    from sketchlib.extract import extract_project
+
+    wp = webpages(spark, sf_test)
+    flat = extract_project(wp).cache()
+    assert flat.where(~F.col("ok")).count() == 0
+    assert flat.count() == wp.count()
+    got = {r["url"]: r["n_chars"] for r in flat.collect()}
+    want = {r["url"]: len(r["text"]) for r in
+            wp.select("url", "text").collect()}
+    assert got == want
+    flat.unpersist()
+
+
 def test_host_skew_present(spark, sf_test):
     """The deliberate Zipf head: host 0 owns ~40% of pages (webtext.py)."""
     wp = webpages(spark, sf_test)
