@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     _prep(spark)
     from sketchlib.agg import (bloom_contains_col, bloom_spec, build_sketch,
-                               cms_spec, hll_spec, kll_spec, tdigest_spec)
-    from sketchlib.params import fpp_bound
+                               build_sketches, cms_spec, hll_spec, kll_spec,
+                               tdigest_spec)
     from sketchlib.sketch import HLL, KLL, TDIGEST
     from sketchlib.textops import tokens_col
 
@@ -46,16 +46,23 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     rows = []
 
+    # bloom + hll + kll + tdigest share ONE scan of lineitem
+    keys = li.select("l_orderkey").distinct().cache()
+    n = keys.count()
+    b, h, k, t = build_sketches(li, [
+        ("l_orderkey", bloom_spec(n, 0.01)),
+        ("l_partkey", hll_spec(p=13)),
+        ("l_extendedprice", kll_spec(k=200)),
+        ("l_extendedprice", tdigest_spec(delta=200)),
+    ])
+
     # bloom: membership over orderkeys, no false negatives
-    n = li.select("l_orderkey").distinct().count()
-    b = build_sketch(li.select("l_orderkey").distinct(), "l_orderkey",
-                     bloom_spec(n, 0.01))
-    fn = li.select("l_orderkey").distinct().where(
+    fn = keys.where(
         ~bloom_contains_col(spark, b.state_bytes, F.col("l_orderkey"))).count()
+    keys.unpersist()
     rows.append(("bloom", float(n), bool(fn == 0)))
 
     # hll: distinct partkeys
-    h = build_sketch(li, "l_partkey", hll_spec(p=13))
     est = HLL.cardinality(h.state)
     exact = li.select("l_partkey").distinct().count()
     rows.append(("hll", float(est),
@@ -67,13 +74,11 @@ def entry(spark: SparkSession) -> DataFrame:
     rows.append(("cms", float(c.n_rows), bool(c.n_rows == toks.count())))
 
     # kll + tdigest: median rank error
-    k = build_sketch(li, "l_extendedprice", kll_spec(k=200))
-    med = float(KLL.quantile(k.state, [0.5])[0])
     total = li.count()
+    med = float(KLL.quantile(k.state, [0.5])[0])
     rank = li.where(F.col("l_extendedprice") <= med).count() / total
     rows.append(("kll", med, bool(abs(rank - 0.5) <= 0.03)))
 
-    t = build_sketch(li, "l_extendedprice", tdigest_spec(delta=200))
     med_t = float(TDIGEST.quantile(t.state, [0.5])[0])
     rank_t = li.where(F.col("l_extendedprice") <= med_t).count() / total
     rows.append(("tdigest", med_t, bool(abs(rank_t - 0.5) <= 0.03)))

@@ -30,8 +30,10 @@ if _REPO not in sys.path:
 HEADLINE = [
     "bloom_semijoin",
     "bloom_fpp_fn",
+    "bloom_blocked_fpp",
     "hll_partkey",
     "hll_users_by_type",
+    "stream_hll_users",
     "cms_heavy_tokens",
     "kll_price_quantiles",
     "tdigest_value_quantiles",
@@ -42,7 +44,11 @@ HEADLINE = [
     "webtext_extract_ok",
     "webtext_url_bloom",
     "webtext_host_hll",
+    "webtext_shingle_bloom",
+    "webtext_heavy_hosts",
     "tpch_q1",
+    "tpch_q6",
+    "revenue_by_nation",
 ]
 
 

@@ -109,6 +109,33 @@ def bloom_fpp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "fn_ok boolean, fp_ok boolean")
 
 
+@register("bloom_blocked_fpp", "SELECT TRUE AS fn_ok, TRUE AS fp_ok")
+def bloom_blocked_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-blocked mode (O15, gloom.h:285-330): all k bits of a key in
+    one 64-bit word — one gather+scatter per key.  Same no-FN guarantee; FP
+    is worse than standard mode by design (word-local collisions), so the
+    gate derives the EXPECTED blocked FPP from the built state itself:
+    a fresh key probes a uniform word and k bits of it, so
+    E[FPP] = mean_w ( (popcount(w)/64)^k ) — measured FP must sit within
+    sampling slack of that self-derived expectation."""
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    res = build_sketch(cust, "c_custkey", bloom_spec(n, 0.01, blocked=True))
+    fn_cnt = cust.where(
+        ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
+    n_probe = 100_000
+    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fp_cnt = fresh.where(
+        bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
+    st = res.state
+    fills = np.unpackbits(st.words.view(np.uint8)).reshape(-1, 64).sum(axis=1) / 64.0
+    expected = float(np.mean(fills ** st.k))
+    slack = 4 * math.sqrt(max(expected * (1 - expected), 1e-12) / n_probe)
+    fp_ok = fp_cnt / n_probe <= 1.5 * expected + slack
+    return spark.createDataFrame([(fn_cnt == 0, bool(fp_ok))],
+                                 "fn_ok boolean, fp_ok boolean")
+
+
 @register("bloom_sizing", """
 WITH c AS (SELECT COUNT(*)::BIGINT AS n FROM customer),
 raw AS (SELECT n,
@@ -262,6 +289,38 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol = 0.005 if q in (0.01, 0.99) else 0.02
         rows.append((float(q), bool(abs(rank - q) <= tol)))
     return spark.createDataFrame(rows, "q double, ok boolean")
+
+
+@register("stream_hll_users", """
+SELECT COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok FROM events
+""")
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingestion: the events table consumed as a
+    file-source stream (availableNow, several micro-batches), HLL
+    accumulated incrementally via foreachBatch — the streaming state must
+    answer the distinct-count query within the batch HLL's bound."""
+    import tempfile
+
+    from .streaming import StreamingSketch
+
+    ev_batch = _t(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        # the file source needs a DIRECTORY of files to micro-batch over
+        ev_batch.repartition(4).write.parquet(f"{tmp}/src")
+        ss = StreamingSketch(hll_spec(p=13), f"{tmp}/state", col="user_id")
+        stream = (spark.readStream.schema(ev_batch.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(f"{tmp}/src"))
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(ss.process_batch)
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        est = HLL.cardinality(ss.state)
+    exact = ev_batch.select("user_id").distinct().count()
+    tol = max(5 * 1.04 / math.sqrt(2**13) * exact, 3)
+    return spark.createDataFrame([(exact, bool(abs(est - exact) <= tol))],
+                                 "exact_users long, ok boolean")
 
 
 # ---------------------------------------------------------------------------
@@ -553,6 +612,56 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                  .cast("double").alias("sum_base_price"),
                  F.count("*").alias("count_order")))
+
+
+@register("tpch_q6", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+aggregate: every predicate must reach the parquet scan
+    (PushedFilters) and the whole pipeline stays in one WholeStageCodegen
+    span — asserted by tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+                     & (F.col("l_discount").between(0.05, 0.07))
+                     & (F.col("l_quantity") < 24))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * F.col("l_discount").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+@register("revenue_by_nation", """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions: the fact table never
+    shuffles for the join (only for the final 25-group aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier")
+                       .select("s_suppkey", "s_nationkey"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation")
+                      .select("n_nationkey", "n_name"))
+    return (li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
 
 
 @register("events_user_seq", """

@@ -90,8 +90,11 @@ class Bloom:
                 nwords = np.uint64(state.words.shape[0])
                 block = (c1.astype(np.uint64) % nwords)
                 i = np.arange(state.k, dtype=np.uint64)[None, :]
-                bit = (c1.astype(np.uint64)[:, None]
-                       + i * c2.astype(np.uint64)[:, None]) % np.uint64(64)
+                # h2 forced odd (gloom.h:110): an even stride mod 64 cycles
+                # over a subgroup of bit positions, revisiting bits and
+                # inflating FPP; odd strides visit k distinct bits
+                stride = (c2.astype(np.uint64) | np.uint64(1))[:, None]
+                bit = (c1.astype(np.uint64)[:, None] + i * stride) % np.uint64(64)
                 mask = np.bitwise_or.reduce(np.uint64(1) << bit, axis=1)
                 np.bitwise_or.at(state.words, block, mask)
             else:
@@ -116,8 +119,8 @@ class Bloom:
                 nwords = np.uint64(state.words.shape[0])
                 block = c1.astype(np.uint64) % nwords
                 i = np.arange(state.k, dtype=np.uint64)[None, :]
-                bit = (c1.astype(np.uint64)[:, None]
-                       + i * c2.astype(np.uint64)[:, None]) % np.uint64(64)
+                stride = (c2.astype(np.uint64) | np.uint64(1))[:, None]
+                bit = (c1.astype(np.uint64)[:, None] + i * stride) % np.uint64(64)
                 mask = np.bitwise_or.reduce(np.uint64(1) << bit, axis=1)
                 out[s:s + _CHUNK] = (state.words[block] & mask) == mask
             else:

@@ -1,0 +1,73 @@
+"""Physical-plan audits: the properties that make queries survive a 100x
+scale-up are asserted, not assumed — filter pushdown into the parquet
+scan, column pruning, broadcast joins for small dims, and the zero-shuffle
+partial-build fast path."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from sketchlib.agg import build_partials, hll_spec
+from sketchlib.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_test):
+    plan = plan_of(QUERIES["tpch_q6"](spark, sf_test))
+    assert "PushedFilters" in plan
+    # every selective predicate reaches the parquet reader
+    for token in ("l_shipdate", "l_discount", "l_quantity"):
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any(token in ln for ln in pushed), f"{token} not pushed: {pushed}"
+    # scan -> filter -> project -> partial agg collapse into codegen'd
+    # spans; under AQE that is only visible on the EXECUTED plan
+    df = QUERIES["tpch_q6"](spark, sf_test)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # executed plans mark whole-stage-codegen'd operators with "*(id)"
+    assert "*(1)" in executed
+
+
+def test_q6_column_pruning(spark, sf_test):
+    plan = plan_of(QUERIES["tpch_q6"](spark, sf_test))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # only the 4 referenced columns are read, not the 16-column table
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_orderkey" not in read and "l_comment" not in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_test):
+    plan = plan_of(QUERIES["revenue_by_nation"](spark, sf_test), "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan  # the fact table never shuffles to join
+
+
+def test_build_partials_zero_shuffle(spark, sf_test):
+    """The partial-build fast path adds NO exchange: scan partitions are the
+    shards (placement-independent algebra)."""
+    li = spark.read.parquet(f"{sf_test}/lineitem.parquet")
+    partials = build_partials(li, "l_partkey", hll_spec(p=12))
+    plan = plan_of(partials, "simple")
+    assert "Exchange" not in plan
+
+
+def test_build_partials_column_pruned(spark, sf_test):
+    li = spark.read.parquet(f"{sf_test}/lineitem.parquet")
+    plan = plan_of(build_partials(li, "l_partkey", hll_spec(p=12)))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" in read and "l_comment" not in read
+
+
+def test_bloom_semijoin_probe_is_udf_filter_not_join(spark, sf_test):
+    """The broadcast-sketch probe is a scan+filter — no join exchange for
+    the probe side (the whole point of a bloom semi-join at scale)."""
+    plan = plan_of(QUERIES["bloom_semijoin"](spark, sf_test), "simple")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()
