@@ -41,6 +41,7 @@ HEADLINE = [
     "neardup_pairs",
     "simhash_pairs",
     "ann_topk",
+    "embedding_neardup",
     "webtext_extract_ok",
     "webtext_url_bloom",
     "webtext_host_hll",

@@ -165,7 +165,7 @@ def build_partials_keyed(df: DataFrame, col: str, spec: SketchSpec,
     if shards_to_build is not None:
         sel = sel.where(F.col("shard").isin([int(s) for s in shards_to_build]))
 
-    def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_group(key, pdf):
         state = spec.create()
         vals = _series_values(pdf["__v"].sort_values(kind="stable"))
         state = ops.update(state, vals)
@@ -178,7 +178,7 @@ def build_partials_keyed(df: DataFrame, col: str, spec: SketchSpec,
 def _merge_group_fn(spec: SketchSpec):
     ops = spec.ops
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(key, pdf):
         states = [ops.deserialize(b) for b in pdf["state"]]
         acc = reduce(ops.merge, states)
         return pd.DataFrame({"shard": [key[0]], "state": [ops.serialize(acc)],
@@ -316,7 +316,7 @@ def build_sketches(df: DataFrame, cols_specs: list[tuple[str, SketchSpec]],
     num_partials = num_shards if num_shards is not None \
         else df.rdd.getNumPartitions()
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(key, pdf):
         ops = specs[key[0]].ops
         acc = reduce(ops.merge, [ops.deserialize(b) for b in pdf["state"]])
         return pd.DataFrame({"idx": [key[0]], "shard": [key[1]],
@@ -394,7 +394,7 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
     salted = df.select(*gcols, F.col(value_col).alias("__v")) \
         .withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).cast("int"))
 
-    def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_group(key, pdf):
         state = spec.create()
         vals = _series_values(pdf["__v"])
         state = ops.update(state, vals)
@@ -406,7 +406,7 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
 
     partials = salted.groupBy(*gcols, "__salt").applyInPandas(build_group, partial_schema)
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(key, pdf):
         states = [ops.deserialize(b) for b in pdf["state"]]
         acc = reduce(ops.merge, states)
         row = {c: [key[i]] for i, c in enumerate(gcols)}
@@ -449,7 +449,7 @@ def _sketch_grouped_local(df: DataFrame, group_cols: list[str],
 
     partials = sel.mapInPandas(combine, partial_schema)
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(key, pdf):
         states = [ops.deserialize(b) for b in pdf["state"]]
         acc = reduce(ops.merge, states)
         row = {c: [key[i]] for i, c in enumerate(gcols)}

@@ -37,7 +37,7 @@ from .agg import (
 from .dedup import exact_dedup_groups, simhash_near_dup_pairs, verified_near_dup_pairs
 from .extract import extracted_text_col
 from .params import BloomParams, fpp_bound
-from .similarity import cosine_topk, ivf_topk, train_centroids
+from .similarity import cosine_pairs, cosine_topk, ivf_topk, train_centroids
 from .sketch import HLL, KLL, TDIGEST
 from .textops import (
     STOPWORDS,
@@ -448,6 +448,18 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk(emb, queries, k=5).select(
         "q_id", "neighbor_id", F.col("rnk").cast("long"))
+
+
+@register("embedding_neardup", """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+""")
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space analogue of
+    MinHash near-dup): exact block self-join against a broadcast corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.35)
 
 
 @register("ann_ivf")  # rows-only: approximate by design (recall < 1)

@@ -20,7 +20,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "train_centroids", "ivf_assign", "ivf_topk"]
+__all__ = ["cosine_topk", "cosine_pairs", "train_centroids", "ivf_assign",
+           "ivf_topk"]
 
 
 def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
@@ -78,6 +79,40 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     return (local.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("q_id", "neighbor_id", "rnk", "sim"))
+
+
+def cosine_pairs(df: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(a, b) — all embedding pairs with cosine >= threshold
+    (embedding-cosine near-duplicate detection).
+
+    Block self-join: the normalized corpus is broadcast once; every
+    partition matmuls its row block against it and emits only the (a < b)
+    hits — O(N²) dot products but O(N·k_hits) shuffle.  Exact by
+    construction; at 10^12 scale the corpus side becomes the IVF-bucketed
+    table (ivf_assign) so each block multiplies against nprobe buckets
+    instead of everything."""
+    spark = df.sparkSession
+    ids, normed = _collect_queries(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, normed))
+
+    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, corpus = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_blk = pdf[id_col].to_numpy(np.int64)
+            mat = np.array(list(pdf[vec_col]), np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                                   1e-12)
+            scores = mat @ corpus.T  # [B, N]
+            hit = (scores >= threshold) & (ids_blk[:, None] < all_ids[None, :])
+            bi, ci = np.nonzero(hit)
+            if len(bi):
+                yield pd.DataFrame({"a": ids_blk[bi], "b": all_ids[ci]})
+
+    return df.select(id_col, vec_col).mapInPandas(block_pairs,
+                                                  "a long, b long")
 
 
 def train_centroids(df: DataFrame, n_centroids: int = 16,

@@ -49,6 +49,20 @@ def test_multi_build_forced_shards(spark, sf_smoke):
     assert res.num_partials == 17
 
 
+def test_salting_splits_hot_group(spark, sf_test):
+    """The skew mechanism itself: under the salted two-phase strategy, the
+    hot group's rows (host 0 = 40% of all pages) are built by MULTIPLE
+    phase-1 tasks — no single task owns the head of the Zipf curve."""
+    from sketchlib.webtext import webpages
+
+    wp = webpages(spark, sf_test).repartition(16)  # many input partitions
+    sel = wp.select("host_id", F.col("url").alias("__v")) \
+        .withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(8)))
+    phase1_groups = (sel.groupBy("host_id", "__salt").count()
+                     .where(F.col("host_id") == 0).count())
+    assert phase1_groups >= 4  # hot host spread over >= 4 salt buckets
+
+
 def test_grouped_strategies_agree(spark, sf_smoke):
     """local_combine (map-side combine, shuffle states) and shuffle
     (salted two-phase) must produce identical per-group HLL registers —
