@@ -60,6 +60,11 @@ def main() -> None:
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
              .config("spark.python.worker.reuse", "true")
              .config("spark.sql.adaptive.enabled", "true")
+             # local mode: driver JVM is the executor; the 1g default heap
+             # caps netty direct memory and OOMs Arrow transfers beyond a
+             # few million pages (spark-submit runs get this from --conf)
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .getOrCreate())
     try:
         from sketchlib.packaging import ensure_shipped
