@@ -64,9 +64,9 @@ def sketch_build_throughput(spark, sf_dir: str) -> dict:
     single-pass multi-build (one scan feeds all five) with shards = 2x cores
     — the sf0.1 parquet arrives as only ~3 splits, which would cap
     parallelism at 3 tasks."""
-    from sketchlib.agg import (bloom_spec, build_partials, build_sketches,
-                               cms_spec, hll_spec, kll_spec, tdigest_spec,
-                               tree_merge)
+    from sketchlib.agg import (auto_shards, bloom_spec, build_partials,
+                               build_sketches, cms_spec, hll_spec, kll_spec,
+                               tdigest_spec, tree_merge)
     from sketchlib.session import default_parallelism
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -81,8 +81,9 @@ def sketch_build_throughput(spark, sf_dir: str) -> dict:
                   ("l_extendedprice", tdigest_spec(delta=200))]
 
     t0 = time.perf_counter()
+    # shard count sized by the largest state (the bloom dominates traffic)
     results = build_sketches(li, cols_specs,
-                             num_shards=2 * default_parallelism())
+                             num_shards=auto_shards(cols_specs[0][1]))
     total_rows = sum(r.n_rows for r in results)
     build_secs = time.perf_counter() - t0
     spec = cols_specs[1][1]

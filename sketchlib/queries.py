@@ -275,6 +275,29 @@ def kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, ok boolean")
 
 
+@register("kll_price_by_flag", """
+SELECT l_returnflag, TRUE AS median_ok FROM lineitem
+GROUP BY l_returnflag
+""")
+def kll_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantiles: one KLL sketch per l_returnflag through the
+    salted two-phase aggregation; each group's median is rank-checked
+    against its own exact distribution."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = sketch_grouped(li, ["l_returnflag"], "l_extendedprice",
+                             kll_spec(k=200), salt_buckets=8)
+    totals = {r["l_returnflag"]: r["c"] for r in
+              li.groupBy("l_returnflag").agg(F.count("*").alias("c")).collect()}
+    rows = []
+    for r in grouped.collect():
+        flag = r["l_returnflag"]
+        med = float(KLL.quantile(KLL.deserialize(bytes(r["state"])), [0.5])[0])
+        rank = li.where((F.col("l_returnflag") == flag)
+                        & (F.col("l_extendedprice") <= med)).count() / totals[flag]
+        rows.append((flag, bool(abs(rank - 0.5) <= 0.02)))
+    return spark.createDataFrame(rows, "l_returnflag string, median_ok boolean")
+
+
 @register("tdigest_value_quantiles", f"""
 SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM {_QS_SQL} t(q)
 """)
