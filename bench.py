@@ -121,6 +121,16 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
 
     from sketchlib.queries import QUERIES
 
+    # Warm python workers (imports) so the first query isn't charged for
+    # cluster startup — on a long-lived cluster the workers are hot.
+    import pandas as _pd
+
+    def _warm(it):
+        for b in it:
+            yield _pd.DataFrame({"id": b["id"]})
+
+    spark.range(0, 4 * cores, 1, 4 * cores).mapInPandas(_warm, "id long").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     if include_queries:

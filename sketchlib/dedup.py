@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .hashing import derive_hashes, hash64
-from .textops import shingles_col, tokens_col
+from .textops import shingles_col, tokens_col, widen
 
 __all__ = [
     "exact_dedup_groups", "exact_dedup_keep_first", "minhash_signatures",
@@ -88,7 +88,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sig)})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    return widen(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} {id_type}, sig array<bigint>")
 
 
@@ -99,16 +99,20 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     of ``rows`` consecutive signature slots matches exactly.  Probability a
     pair with Jaccard s collides: 1 - (1 - s^rows)^bands.
 
-    ``min_est_jaccard`` adds a JVM-side pre-filter on the MinHash Jaccard
-    ESTIMATE (matching signature slots / num_hashes) before any pair leaves
-    the join: with H=64 hashes the estimate's σ = √(s(1-s)/64) ≤ 0.0625,
-    so a cut 4-5σ below the verification threshold prunes the flood of
-    low-similarity band collisions (the dominant cost of a low-``rows``
-    high-recall profile) while keeping P(losing a true pair) < 1e-6.
-    The exact verification join still decides membership — this only
-    shrinks its input."""
+    ``min_est_jaccard`` filters candidates by the MinHash Jaccard ESTIMATE
+    (matching signature slots / num_hashes): with H=64 hashes the
+    estimate's σ = √(s(1-s)/64) ≤ 0.0625, so a cut 4-5σ below the
+    verification threshold prunes low-similarity band collisions while
+    keeping P(losing a true pair) < 1e-6.  The exact verification join
+    still decides membership — this only shrinks its input.
+
+    Join shape: the band self-join carries ONLY (id, band, band_hash) —
+    shuffling the 64-slot signatures through the exploded join costs more
+    than the collision rows they would prune (measured: 82 MB of sig
+    arrays vs ~12k collision rows at sf0.1).  Signatures re-join AFTER the
+    distinct, on the (tiny) candidate set, via an auto-broadcast lookup."""
     banded = sig_df.select(
-        F.col(id_col), F.col("sig"),
+        F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -121,21 +125,24 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    joined = left.join(
-        right,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.band_hash") == F.col("r.band_hash"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+    pairs = (
+        left.join(right,
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"))
+        .distinct())
     if min_est_jaccard is not None:
-        n_hashes = F.size(F.col("l.sig"))
+        sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+        sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
         matches = F.size(F.filter(
-            F.zip_with("l.sig", "r.sig", lambda x, y: x == y),
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
             lambda eq: eq))
-        joined = joined.where(matches >= F.lit(min_est_jaccard) * n_hashes)
-    return (joined
-            .select(F.col(f"l.{id_col}").alias("a"),
-                    F.col(f"r.{id_col}").alias("b"))
-            .distinct())
+        pairs = (pairs.join(sa, "a").join(sb, "b")
+                 .where(matches >= F.lit(min_est_jaccard) * F.size(F.col("sig_a")))
+                 .select("a", "b"))
+    return pairs
 
 
 def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -146,7 +153,10 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     >= threshold.  MinHash+LSH prunes the O(N^2) space; the exact JVM-side
     verification join removes LSH false positives entirely (emitted pairs
     are exact), leaving recall as the only approximation."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # cache: signatures feed both the band join and the est-filter lookup;
+    # recomputing the python MinHash pass would double the dominant cost
+    # (tiny state: H longs per doc; LRU-evictable)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
     # estimate cut 4-5σ under the exact threshold (σ ≤ 1/(2√H)): prunes
     # low-similarity band collisions, keeps true-pair loss < 1e-6
     est_cut = max(0.0, threshold - 2.5 / math.sqrt(num_hashes))

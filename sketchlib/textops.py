@@ -21,8 +21,22 @@ from .hashing import hash64, to_byte_matrix
 __all__ = [
     "tokens_col", "shingles_col", "token_stats", "quality_stats",
     "STOPWORDS", "stopword_count_col", "fingerprint_docs", "simhash_docs",
-    "langid_docs", "LANG_PROFILES",
+    "langid_docs", "LANG_PROFILES", "widen",
 ]
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input arrives underpartitioned.
+
+    Small-file parquet scans often yield a single split; any python-heavy
+    mapInPandas over them would then run as ONE task no matter how many
+    cores the cluster has (measured: MinHash over one-split documents =
+    7.8 s single-task vs sub-second at 32).  At real scale inputs arrive
+    in hundreds of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 # A small, fixed English stopword list (public knowledge) — used by quality
 # scoring and the language-ID heuristic.
@@ -119,7 +133,7 @@ def fingerprint_docs(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": fp})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    return widen(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} {id_type}, fingerprint long")
 
 
@@ -157,7 +171,7 @@ def simhash_docs(df: DataFrame, id_col: str = "doc_id",
                                 "simhash": _simhash_batch(pdf[text_col])})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    return widen(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} {id_type}, simhash long")
 
 
@@ -202,5 +216,5 @@ def langid_docs(df: DataFrame, id_col: str = "doc_id",
                                 "lang_pred": _langid_batch(pdf[text_col])})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    return widen(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} {id_type}, lang_pred string")
