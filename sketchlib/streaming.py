@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 
 from .agg import SketchSpec, build_partials
 
-__all__ = ["StreamingSketch"]
+__all__ = ["StreamingSketch", "StreamingGroupedSketch"]
 
 
 class StreamingSketch:
@@ -114,3 +114,86 @@ class StreamingSketch:
     @property
     def state_bytes(self) -> bytes:
         return self._state_bytes
+
+
+class StreamingGroupedSketch:
+    """One sketch PER GROUP over a stream (e.g. distinct users per
+    event-time window): each micro-batch runs the distributed grouped
+    build (map-side combine — the only shape that survives high-volume
+    batches), then merges batch states into the running per-group table.
+
+    Group keys can be event-time windows (pass a window/bucket expression
+    as a group column): late rows merge into their window's sketch
+    whenever they arrive — the sketch algebra makes out-of-order arrival a
+    non-event, which is why no watermark is needed for correctness (a
+    watermark would only bound state retention; at 10^12 scale add a
+    retention policy that drops windows older than the watermark).
+
+    Exactly-once via the same last-batch-id protocol as StreamingSketch.
+    """
+
+    def __init__(self, spec: SketchSpec, state_dir: str,
+                 group_cols: list[str], value_col: str):
+        self.spec = spec
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+        self._path = os.path.join(state_dir, "grouped_state.json")
+        self._load()
+
+    def _load(self) -> None:
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                raw = json.load(f)
+            if raw["kind"] != self.spec.kind or raw["cfg"] != dict(self.spec.cfg):
+                raise ValueError("state written for a different sketch spec")
+            self.groups = {k: {"state": bytes.fromhex(v["state_hex"]),
+                               "n": v["n"]}
+                           for k, v in raw["groups"].items()}
+            self.last_batch_id = raw["last_batch_id"]
+        else:
+            self.groups = {}
+            self.last_batch_id = -1
+
+    def _commit(self) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "kind": self.spec.kind, "cfg": dict(self.spec.cfg),
+                "last_batch_id": self.last_batch_id,
+                "groups": {k: {"state_hex": v["state"].hex(), "n": v["n"]}
+                           for k, v in self.groups.items()},
+            }, f)
+        os.replace(tmp, self._path)
+
+    @staticmethod
+    def _key(row, group_cols) -> str:
+        return json.dumps([str(row[c]) for c in group_cols])
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from .agg import sketch_grouped
+
+        if batch_id <= self.last_batch_id:
+            return
+        ops = self.spec.ops
+        rows = sketch_grouped(batch_df, self.group_cols, self.value_col,
+                              self.spec, strategy="local_combine").collect()
+        for r in rows:
+            k = self._key(r, self.group_cols)
+            blob = bytes(r["state"])
+            ent = self.groups.get(k)
+            if ent is None:
+                self.groups[k] = {"state": blob, "n": int(r["n"])}
+            else:
+                merged = ops.merge(ops.deserialize(ent["state"]),
+                                   ops.deserialize(blob))
+                ent["state"] = ops.serialize(merged)
+                ent["n"] += int(r["n"])
+        self.last_batch_id = batch_id
+        self._commit()
+
+    def states(self) -> dict:
+        """{group-key-json: deserialized sketch state}"""
+        ops = self.spec.ops
+        return {k: ops.deserialize(v["state"]) for k, v in self.groups.items()}

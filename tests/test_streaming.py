@@ -72,6 +72,39 @@ def test_stream_resume_after_restart(spark, sf_smoke, tmp_path):
     assert ss2.state_bytes == ss1.state_bytes
 
 
+def test_windowed_grouped_stream_equals_batch(spark, sf_smoke, tmp_path):
+    """Per-event-time-window distinct users, streamed out of order across
+    micro-batches, must equal the batch grouped build byte-for-byte (HLL
+    max-merge is arrival-order-independent — late data is a non-event)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.agg import sketch_grouped
+    from sketchlib.streaming import StreamingGroupedSketch
+
+    src = _multi_file_copy(spark, sf_smoke, tmp_path)  # order scrambled
+    spec = hll_spec(p=12)
+    ss = StreamingGroupedSketch(spec, str(tmp_path / "gstate"),
+                                group_cols=["win"], value_col="user_id")
+
+    batch = spark.read.parquet(src) \
+        .withColumn("win", F.date_trunc("hour", F.col("ts")))
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("win", F.date_trunc("hour", F.col("ts"))))
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(ss.process_batch)
+         .option("checkpointLocation", str(tmp_path / "gck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    want = {str(r["win"]): bytes(r["state"]) for r in
+            sketch_grouped(batch, ["win"], "user_id", spec,
+                           strategy="local_combine").collect()}
+    import json as _json
+    got = {_json.loads(k)[0]: v["state"] for k, v in ss.groups.items()}
+    assert got == want and len(want) >= 2
+
+
 def test_replayed_batch_skipped(spark, sf_smoke, tmp_path):
     """Manual replay: calling process_batch twice with one batch id must
     fold the rows in exactly once (CMS would double-count otherwise)."""
