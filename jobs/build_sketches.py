@@ -87,7 +87,7 @@ def main() -> None:
             return synth_webpages(spark, n_pages_arg, n_words=args.n_words,
                                   partitions=parts)
 
-        def run_pipeline(pages):
+        def run_pipeline(pages, use_checkpoint=True):
             """One full pass; returns (stages, metrics, n_pages)."""
             stages: dict[str, float] = {}
             metrics: dict[str, object] = {}
@@ -109,7 +109,7 @@ def main() -> None:
                           ("host_id", cms_spec(d=5, w=8192)),
                           ("n_chars", kll_spec(k=200)),
                           ("n_chars", tdigest_spec(delta=200))]
-            if args.checkpoint_dir:
+            if args.checkpoint_dir and use_checkpoint:
                 # resumable path for the Bloom; the rest share one scan
                 from sketchlib.checkpoint import checkpointed_build
                 bloom = checkpointed_build(
@@ -140,7 +140,10 @@ def main() -> None:
         # Warm the python workers WITH the actual pipeline on a tiny page
         # count: on a long-lived cluster workers/JIT are already hot, and
         # the scaling criterion excludes cluster startup (like JVM boot).
-        run_pipeline(make_pages(min(20_000, args.pages)))
+        # warmup must not touch the checkpoint (its tiny-spec
+        # state would conflict with the real run's shard plan)
+        run_pipeline(make_pages(min(20_000, args.pages)),
+                     use_checkpoint=False)
 
         pages = make_pages(args.pages)
         best_stages, metrics, n_pages = run_pipeline(pages)

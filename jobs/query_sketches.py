@@ -38,6 +38,10 @@ def main() -> None:
                     help="inline probe keys for quick checks")
     ap.add_argument("--out", default=None,
                     help="write (key, member) parquet here instead of showing")
+    ap.add_argument("--sharded", action="store_true",
+                    help="route each probe to its owning shard's blob "
+                         "instead of assembling the merged filter — the "
+                         "only probe shape when the merged state is TBs")
     ap.add_argument("--stats-only", action="store_true")
     args = ap.parse_args()
 
@@ -66,10 +70,10 @@ def main() -> None:
         from sketchlib.packaging import ensure_shipped
         ensure_shipped(spark)
         from sketchlib.agg import SketchSpec, bloom_contains_col
-        from sketchlib.checkpoint import checkpointed_build, _finalize
+        from sketchlib.checkpoint import (_finalize, checkpointed_build,
+                                          sharded_contains)
 
         spec = SketchSpec(manifest.spec_kind, manifest.spec_cfg)
-        res = _finalize(spark, spec, manifest, args.checkpoint_dir)
 
         if args.probe_parquet:
             probes = spark.read.parquet(args.probe_parquet)
@@ -82,9 +86,14 @@ def main() -> None:
         if spec.kind != "bloom":
             raise SystemExit("membership probe needs a bloom checkpoint; "
                              f"found {spec.kind}")
-        hits = probes.withColumn(
-            "member", bloom_contains_col(spark, res.state_bytes,
-                                         F.col(args.probe_col)))
+        if args.sharded:
+            hits = sharded_contains(probes, args.probe_col,
+                                    args.checkpoint_dir)
+        else:
+            res = _finalize(spark, spec, manifest, args.checkpoint_dir)
+            hits = probes.withColumn(
+                "member", bloom_contains_col(spark, res.state_bytes,
+                                             F.col(args.probe_col)))
         if args.out:
             hits.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"probes": probes.count(),

@@ -42,9 +42,11 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .agg import PARTIAL_SCHEMA, BuildResult, SketchSpec, build_partials_keyed
+from .agg import (PARTIAL_SCHEMA, BuildResult, SketchSpec,
+                  build_partials_keyed, shard_expr)
 
-__all__ = ["checkpointed_build", "load_manifest", "CheckpointState"]
+__all__ = ["checkpointed_build", "load_manifest", "CheckpointState",
+           "sharded_contains"]
 
 _MANIFEST = "manifest.json"
 
@@ -159,6 +161,83 @@ def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
             return None  # time-boxed: more shards remain
 
     return _finalize(spark, spec, state, ckpt_dir)
+
+
+def sharded_contains(probes: DataFrame, probe_col: str,
+                     ckpt_dir: str) -> DataFrame:
+    """Distributed membership probe against a SHARDED checkpointed Bloom —
+    without ever assembling the merged filter.
+
+    At 10^12 keys the merged Bloom is ~TBs: it cannot be broadcast, and at
+    that scale this is the only probe shape that works.  Each probe key is
+    routed by the SAME data function that routed inserts
+    (``shard_expr(route_cols)``), joined to the (shard, state) table, and
+    checked against only its owning shard's blob — a key inserted into
+    shard s set bits only in shard s's state, so probing one shard is
+    exact (mirrors the reference's routed contains, gloom_clean.h:101-113,
+    which is correct for the same reason).
+
+    Requires a completed checkpoint whose route_cols == [probe_col].
+    Returns probes + boolean ``member``.
+    """
+    import pandas as pd
+
+    spark = probes.sparkSession
+    manifest = load_manifest(ckpt_dir)
+    if manifest is None or manifest.missing:
+        raise ValueError(f"checkpoint at {ckpt_dir} is missing or incomplete")
+    if manifest.spec_kind != "bloom":
+        raise ValueError("sharded_contains probes bloom checkpoints only")
+    if manifest.route_cols != [probe_col]:
+        raise ValueError(
+            f"checkpoint routed by {manifest.route_cols}, probing by "
+            f"[{probe_col}] would look in the wrong shard")
+    spec = SketchSpec(manifest.spec_kind, manifest.spec_cfg)
+    ops = spec.ops
+
+    # keep only the manifest-committed blob per shard (stale duplicates
+    # from a crash between append and commit are discarded by sha, same
+    # rule as _finalize)
+    shas = {int(s): v.get("sha") for s, v in manifest.shards.items()}
+
+    def keep_committed(batches):
+        for pdf in batches:
+            ok = [hashlib.sha256(bytes(b)).hexdigest()[:16] == shas.get(int(s))
+                  for s, b in zip(pdf["shard"], pdf["state"])]
+            yield pdf[ok]
+
+    states = (spark.read.parquet(_partials_dir(ckpt_dir))
+              .mapInPandas(keep_committed, PARTIAL_SCHEMA)
+              .withColumnRenamed("shard", "__shard"))
+    routed = probes.withColumn(
+        "__shard", shard_expr([probe_col], manifest.num_shards))
+    # shard states are few and small relative to probes: broadcast them so
+    # the probe side never shuffles for the join
+    joined = routed.join(F.broadcast(states.select("__shard", "state")),
+                         "__shard", "left")
+
+    out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                           for f in probes.schema.fields)
+
+    def probe_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from .agg import _series_values
+
+        blob = pdf["state"].iloc[0]
+        cols = {c: pdf[c] for c in pdf.columns if c not in ("state", "__shard")}
+        member = np.zeros(len(pdf), bool)
+        if blob is not None:  # None = empty shard: nothing inserted there
+            st = ops.deserialize(bytes(blob))
+            nn = pdf[probe_col].notna().to_numpy()
+            if nn.any():
+                member[nn] = ops.contains(
+                    st, _series_values(pdf[probe_col][nn]))
+        cols["member"] = member
+        return pd.DataFrame(cols)
+
+    return joined.groupBy("__shard").applyInPandas(
+        probe_group, f"{out_fields}, member boolean")
 
 
 def _finalize(spark: SparkSession, spec: SketchSpec, state: CheckpointState,

@@ -98,6 +98,53 @@ def test_stale_duplicate_rows_ignored(spark, sf_smoke, tmp_path):
     assert again.state_bytes == clean.state_bytes
 
 
+def test_sharded_contains_matches_broadcast_probe(spark, sf_smoke, tmp_path):
+    """Routed per-shard probing (the TB-scale path: no merged filter ever
+    exists) must agree with the broadcast-whole-state probe: no false
+    negatives on inserted keys, False for a key from an empty id space."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.agg import bloom_contains_col
+    from sketchlib.checkpoint import sharded_contains
+
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "g")
+    spec = bloom_spec(df.count(), 0.01)
+    res = checkpointed_build(df, "l_orderkey", spec, route_cols=["l_orderkey"],
+                             num_shards=SHARDS, ckpt_dir=ckpt)
+
+    keys = df.select("l_orderkey").distinct()
+    fresh = spark.range(50_000_000, 50_002_000) \
+        .select(F.col("id").alias("l_orderkey"))
+    probes = keys.unionAll(fresh)
+
+    routed = {r["l_orderkey"]: r["member"] for r in
+              sharded_contains(probes, "l_orderkey", ckpt).collect()}
+    broadcast = {r["l_orderkey"]: r["m"] for r in probes.withColumn(
+        "m", bloom_contains_col(spark, res.state_bytes,
+                                F.col("l_orderkey"))).collect()}
+    # every inserted key is a member under BOTH probes (no false negatives)
+    for r in keys.collect():
+        assert routed[r["l_orderkey"]] is True
+        assert broadcast[r["l_orderkey"]] is True
+    # routed probing can only be MORE precise than the merged filter
+    # (k bits in one shard vs OR of all shards): no routed-positive may be
+    # a broadcast-negative
+    assert all(broadcast[k] for k, v in routed.items() if v)
+
+
+def test_sharded_contains_refuses_wrong_route(spark, sf_smoke, tmp_path):
+    from sketchlib.checkpoint import sharded_contains
+
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "h")
+    checkpointed_build(df, "l_extendedprice", bloom_spec(1000, 0.01),
+                       route_cols=["l_orderkey"], num_shards=SHARDS,
+                       ckpt_dir=ckpt)
+    with pytest.raises(ValueError, match="wrong shard"):
+        sharded_contains(df.select("l_extendedprice"), "l_extendedprice", ckpt)
+
+
 def test_resume_is_noop_when_complete(spark, sf_smoke, tmp_path):
     df = _li(spark, sf_smoke)
     ckpt = str(tmp_path / "f")
