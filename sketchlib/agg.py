@@ -46,7 +46,8 @@ from .sketch import KINDS, deserialize_any, peek_kind
 __all__ = [
     "SketchSpec", "bloom_spec", "hll_spec", "cms_spec", "kll_spec",
     "tdigest_spec", "build_partials", "build_partials_keyed", "shard_expr",
-    "tree_merge", "build_sketch", "build_sketches", "auto_shards",
+    "tree_merge", "build_sketch", "build_sketches", "build_cms_weighted",
+    "auto_shards",
     "sketch_grouped", "bloom_contains_col", "cms_estimate_col",
     "BuildResult",
 ]
@@ -287,6 +288,49 @@ def build_sketch(df: DataFrame, col: str, spec: SketchSpec, *,
     secs = time.perf_counter() - t0
     return BuildResult(spec, ops.serialize(state), n_rows, num_partials,
                        secs, lineage)
+
+
+def build_cms_weighted(df: DataFrame, key_col: str, weight_col: str,
+                       spec: SketchSpec, fanout: int = 16) -> BuildResult:
+    """Weighted count-min build: each key contributes its weight (e.g.
+    revenue, bytes, click count) instead of 1 — heavy-hitters-by-measure.
+    Same zero-shuffle partial + tree-merge shape as build_sketch."""
+    if spec.kind != "cms":
+        raise ValueError("weighted builds are a CMS operation")
+    sel = df.select(F.col(key_col).alias("__k"),
+                    F.col(weight_col).cast("double").alias("__w"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ops = spec.ops
+        state = spec.create()
+        n = 0
+        for pdf in batches:
+            keep = pdf["__k"].notna() & pdf["__w"].notna()
+            pdf = pdf[keep]
+            vals = _series_values(pdf["__k"])
+            state = ops.update(state, vals,
+                               pdf["__w"].to_numpy(np.float64, copy=False))
+            n += len(pdf)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"shard": [pid], "state": [ops.serialize(state)],
+                            "n": [n]})
+
+    t0 = time.perf_counter()
+    partials = sel.mapInPandas(build, PARTIAL_SCHEMA)
+    num_partials = df.rdd.getNumPartitions()
+    merged = tree_merge(partials, spec, num_partials, fanout)
+    rows = merged.collect()
+    ops = spec.ops
+    if not rows:
+        state, n_rows = spec.create(), 0
+    else:
+        state = reduce(ops.merge,
+                       [ops.deserialize(bytes(r["state"])) for r in rows])
+        n_rows = sum(int(r["n"]) for r in rows)
+    return BuildResult(spec, ops.serialize(state), n_rows, num_partials,
+                       time.perf_counter() - t0)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .agg import (
     bloom_contains_col,
     bloom_spec,
+    build_cms_weighted,
     build_sketch,
     cms_estimate_col,
     cms_spec,
@@ -250,6 +251,64 @@ def cms_point_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("est") >= F.col("freq"))
          & (F.col("est") <= F.col("freq") + F.lit(eps * st.n_total)))
         .alias("ok"))
+
+
+_SUPP_PHI = 0.011
+
+
+@register("cms_heavy_suppliers_by_qty", f"""
+WITH s AS (SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT SUM(total_qty)::DOUBLE AS tot FROM s)
+SELECT l_suppkey, total_qty FROM s
+WHERE total_qty >= CEIL({_SUPP_PHI} * (SELECT tot FROM t))
+""")
+def cms_heavy_suppliers_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED heavy hitters: suppliers by total shipped quantity (each
+    row contributes its l_quantity, not 1).  CMS with weighted updates
+    prunes candidates (never undercounts -> recall 1); the exact
+    verification join makes the output exact at any SF."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("double").alias("qty"))
+    total = li.agg(F.sum("qty")).collect()[0][0]
+    thresh = math.ceil(_SUPP_PHI * total)
+    res = build_cms_weighted(li, "l_suppkey", "qty", cms_spec(d=5, w=4096))
+    cand = (li.select("l_suppkey").distinct()
+            .withColumn("est", cms_estimate_col(spark, res.state_bytes,
+                                                F.col("l_suppkey")))
+            .where(F.col("est") >= thresh))
+    exact = li.groupBy("l_suppkey").agg(
+        F.sum("qty").cast("long").alias("total_qty"))
+    return (cand.join(exact, "l_suppkey")
+            .where(F.col("total_qty") >= thresh)
+            .select("l_suppkey", "total_qty"))
+
+
+@register("hll_user_overlap", """
+SELECT COUNT(*)::BIGINT AS exact_overlap, TRUE AS ok FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'view')
+""")
+def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |A ∩ B| estimated by inclusion-exclusion over
+    three HLLs (A, B, and merge(A,B) = A ∪ B — union IS the merge
+    operator).  Error compounds across the three estimates, so the gate
+    uses the summed bound."""
+    ev = _t(spark, sf_dir, "events")
+    a = build_sketch(ev.where(F.col("event_type") == "click"),
+                     "user_id", hll_spec(p=14))
+    b = build_sketch(ev.where(F.col("event_type") == "view"),
+                     "user_id", hll_spec(p=14))
+    union_state = HLL.merge(a.state, b.state)
+    est = (HLL.cardinality(a.state) + HLL.cardinality(b.state)
+           - HLL.cardinality(union_state))
+    exact = (ev.where(F.col("event_type") == "click").select("user_id")
+             .intersect(ev.where(F.col("event_type") == "view")
+                        .select("user_id")).count())
+    tol = max(3 * 5 * 1.04 / math.sqrt(2**14) * max(exact, 1), 5)
+    return spark.createDataFrame([(exact, bool(abs(est - exact) <= tol))],
+                                 "exact_overlap long, ok boolean")
 
 
 # ---------------------------------------------------------------------------

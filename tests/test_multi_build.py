@@ -49,6 +49,25 @@ def test_multi_build_forced_shards(spark, sf_smoke):
     assert res.num_partials == 17
 
 
+def test_weighted_cms_never_undercounts(spark, sf_smoke):
+    from sketchlib.agg import build_cms_weighted, cms_spec
+    from sketchlib.sketch import CMS
+    import numpy as np
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    res = build_cms_weighted(li, "l_suppkey", "l_quantity",
+                             cms_spec(d=5, w=2048))
+    exact = {r["l_suppkey"]: r["q"] for r in
+             li.groupBy("l_suppkey").agg(
+                 F.sum("l_quantity").alias("q")).collect()}
+    keys = np.array(sorted(exact), np.int64)
+    est = CMS.estimate(res.state, keys)
+    truth = np.array([exact[k] for k in keys])
+    eps_n = np.e / 2048 * res.state.n_total
+    assert (est >= np.floor(truth)).all()
+    assert (est <= truth + eps_n).all()
+
+
 def test_salting_splits_hot_group(spark, sf_test):
     """The skew mechanism itself: under the salted two-phase strategy, the
     hot group's rows (host 0 = 40% of all pages) are built by MULTIPLE
