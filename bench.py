@@ -33,8 +33,10 @@ HEADLINE = [
     "bloom_blocked_fpp",
     "hll_partkey",
     "hll_users_by_type",
+    "hll_user_overlap",
     "stream_hll_users",
     "cms_heavy_tokens",
+    "cms_heavy_suppliers_by_qty",
     "kll_price_quantiles",
     "tdigest_value_quantiles",
     "dedup_exact",

@@ -137,6 +137,47 @@ def bloom_blocked_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "fn_ok boolean, fp_ok boolean")
 
 
+@register("bloom_sharded_resume", """
+SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_probes, TRUE AS fn_ok,
+       TRUE AS resume_ok
+FROM orders
+""")
+def bloom_sharded_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint + resume + routed probe, end to end in one gated query:
+    build a keyed-sharded Bloom over customer keys in TWO time-boxed runs
+    (the second resumes the first's manifest), then answer membership for
+    every order's customer via sharded_contains — per-shard blobs only,
+    no merged filter.  fn_ok: FK-clean data means every probe is a true
+    member; resume_ok: the resumed build's lineage covers all shards."""
+    import tempfile
+
+    from .checkpoint import checkpointed_build, load_manifest, sharded_contains
+
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    spec = bloom_spec(n, 0.01)
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = f"{tmp}/ck"
+        first = checkpointed_build(cust, "c_custkey", spec,
+                                   route_cols=["c_custkey"], num_shards=12,
+                                   ckpt_dir=ckpt, max_shards_per_run=7)
+        assert first is None  # time-boxed: 5 shards remain
+        res = checkpointed_build(cust, "c_custkey", spec,  # the resume
+                                 route_cols=["c_custkey"], num_shards=12,
+                                 ckpt_dir=ckpt)
+        manifest = load_manifest(ckpt)
+        resume_ok = (res is not None and not manifest.missing
+                     and len(manifest.rounds) == 2)
+        probes = _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey")).distinct()
+        hits = sharded_contains(probes, "c_custkey", ckpt)
+        n_probes = hits.count()
+        fn_cnt = hits.where(~F.col("member")).count()
+    return spark.createDataFrame(
+        [(n_probes, fn_cnt == 0, bool(resume_ok))],
+        "n_probes long, fn_ok boolean, resume_ok boolean")
+
+
 @register("bloom_sizing", """
 WITH c AS (SELECT COUNT(*)::BIGINT AS n FROM customer),
 raw AS (SELECT n,
