@@ -446,6 +446,50 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "exact_users long, ok boolean")
 
 
+@register("stream_windowed_users", """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok
+FROM events GROUP BY 1
+""")
+def stream_windowed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-windowed distinct users over a STREAM: hourly windows,
+    micro-batches arriving out of order (file split order != time order),
+    per-window HLLs accumulated via StreamingGroupedSketch.  Late rows
+    merge into their window whenever they arrive — commutative merge means
+    no watermark is needed for correctness."""
+    import json as _json
+    import tempfile
+
+    from .streaming import StreamingGroupedSketch
+
+    ev = _t(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.repartition(4).write.parquet(f"{tmp}/src")  # scrambled file order
+        ss = StreamingGroupedSketch(hll_spec(p=12), f"{tmp}/state",
+                                    group_cols=["win"], value_col="user_id")
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src")
+                  .withColumn("win", F.date_trunc("hour", F.col("ts"))))
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(ss.process_batch)
+             .option("checkpointLocation", f"{tmp}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        ests = {_json.loads(k)[0]: HLL.cardinality(st)
+                for k, st in ss.states().items()}
+    exact = {str(r["win"]): r["c"] for r in
+             ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("win"))
+             .agg(F.countDistinct("user_id").alias("c")).collect()}
+    rows = []
+    for win, true in exact.items():
+        est = ests.get(win, 0.0)
+        tol = max(5 * 1.04 / math.sqrt(2**12) * true, 3)
+        rows.append((win, int(true), bool(abs(est - true) <= tol)))
+    return spark.createDataFrame(
+        rows, "win string, exact_users long, ok boolean") \
+        .withColumn("win", F.col("win").cast("timestamp"))
+
+
 # ---------------------------------------------------------------------------
 # dedup / near-dup
 # ---------------------------------------------------------------------------
