@@ -90,15 +90,21 @@ def to_byte_matrix(values) -> tuple[np.ndarray, np.ndarray]:
 
     max_len = int(lengths.max()) if n else 0
     lpad = max(4, ((max_len + 3) // 4) * 4)
-    col = np.arange(lpad, dtype=np.int64)[None, :]
-    idx = offsets[:-1, None] + col
-    valid = col < lengths[:, None]
-    safe_idx = np.where(valid, idx, 0)
-    if data.size == 0:
-        mat = np.zeros((n, lpad), np.uint8)
-    else:
-        mat = np.where(valid, data[safe_idx], np.uint8(0)).astype(np.uint8, copy=False)
-    return np.ascontiguousarray(mat), lengths
+    mat = np.zeros((n, lpad), np.uint8)
+    if data.size:
+        # gather in row chunks: the [chunk, lpad] int64 index/mask
+        # intermediates stay cache-resident — one whole-column pass built
+        # 3x N*lpad*8-byte temporaries and ran ~9x slower at 1M urls
+        col = np.arange(lpad, dtype=np.int64)[None, :]
+        chunk = max(1, (1 << 21) // (lpad * 8))  # ~2 MB of index per chunk
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)  # offsets has n+1 entries; stay in [s, e)
+            off = offsets[s:e, None]
+            ln = lengths[s:e, None]
+            valid = col < ln
+            gathered = data[np.where(valid, off + col, 0)]
+            mat[s:e] = np.where(valid, gathered, np.uint8(0))
+    return mat, lengths
 
 
 def int64_byte_matrix(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
