@@ -80,11 +80,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
             ndocs = len(pdf)
             sig = np.full((ndocs, num_hashes), np.iinfo(np.int64).max, np.int64)
             if flat:
-                fam = derive_hashes(hash64(flat), num_hashes)  # [H, nshingles]
+                base = hash64(flat)
                 doc_idx = np.repeat(np.arange(ndocs), counts)
-                half = (fam >> np.uint64(1)).astype(np.int64)  # keep positive
+                # one derived family at a time: materializing the full
+                # [H, nshingles] table costs H x the shingle count in
+                # DRAM traffic (256 MB per 500k-shingle batch at H=64)
                 for h in range(num_hashes):
-                    np.minimum.at(sig[:, h], doc_idx, half[h])
+                    fam_h = derive_hashes(base, 1, seed=0x5EED + h)[0]
+                    half = (fam_h >> np.uint64(1)).astype(np.int64)
+                    np.minimum.at(sig[:, h], doc_idx, half)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sig)})
 
     id_type = dict(df.dtypes)[id_col]

@@ -446,6 +446,42 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "exact_users long, ok boolean")
 
 
+@register("hll_rollup_day", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok
+FROM events GROUP BY 1
+""")
+def hll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup via MERGE, not rescan: hourly HLL states are
+    the only thing built from raw rows; daily estimates come from merging
+    24 hour-states each (the aggregate-reuse property unique to mergeable
+    sketches — a time-series store keeps one fine-grained sketch level and
+    answers every coarser granularity without touching the data again)."""
+    ev = _t(spark, sf_dir, "events")
+    hours = sketch_grouped(
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
+        ["hour"], "user_id", hll_spec(p=13), strategy="local_combine")
+    # roll hourly states up to days (tiny: merge blobs, no raw-row scan)
+    from functools import reduce as _reduce
+    by_day: dict = {}
+    for r in hours.collect():
+        day = str(r["hour"])[:10]
+        by_day.setdefault(day, []).append(
+            HLL.deserialize(bytes(r["state"])))
+    exact = {str(r["day"])[:10]: r["c"] for r in
+             ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.countDistinct("user_id").alias("c")).collect()}
+    rows = []
+    for day, states in by_day.items():
+        est = HLL.cardinality(_reduce(HLL.merge, states))
+        true = exact[day]
+        tol = max(5 * 1.04 / math.sqrt(2**13) * true, 3)
+        rows.append((day + " 00:00:00", int(true),
+                     bool(abs(est - true) <= tol)))
+    return spark.createDataFrame(rows, "day string, exact_users long, ok boolean") \
+        .withColumn("day", F.col("day").cast("timestamp"))
+
+
 @register("stream_windowed_users", """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
        COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok
