@@ -879,6 +879,64 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_items")))
 
 
+@register("asof_click_purchase", """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, MAX(value) AS value FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, p.value AS value_asof
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no built-in): each click
+    attached to the user's most recent purchase value at or before it.
+    Union-marker + running last() window: one shuffle on user_id, no join
+    node, no range predicate.  DuckDB's native ASOF JOIN is the oracle.
+    Right side deduped to one row per (user, ts) so tie semantics are
+    engine-independent."""
+    from .relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return asof_join(clicks, purch, ["user_id"], "ts", ["value"]) \
+        .select("event_id", "value_asof")
+
+
+@register("range_join_errors", """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+errs AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT c.event_id, COUNT(e.ts)::BIGINT AS n_errors
+FROM clicks c LEFT JOIN errs e
+  ON e.user_id = c.user_id
+ AND epoch_us(e.ts) BETWEEN epoch_us(c.ts) - 3600000000
+                        AND epoch_us(c.ts)
+GROUP BY c.event_id
+""")
+def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator): errors within the hour BEFORE each
+    click, per user — band-bucketed so Catalyst plans an equi-join (the
+    naive theta-join is quadratic).  Left-join semantics recovered by
+    re-joining counts onto all clicks."""
+    from .relational import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errs = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    hour_us = 3_600_000_000
+    pairs = range_join(clicks, errs, ["user_id"], "ts", "ts",
+                       -hour_us, 0)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_errors"))
+    return (clicks.select("event_id").join(counts, "event_id", "left")
+            .select("event_id",
+                    F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors")))
+
+
 @register("events_user_seq", """
 SELECT event_id,
        CAST(row_number() OVER (PARTITION BY user_id

@@ -1,0 +1,98 @@
+"""Time-series relational operators Spark lacks as built-ins: as-of join
+and range join, expressed as compositions of existing DataFrame ops
+(shuffle-friendly, no per-row Python, no cartesian products).
+
+The reference has no relational layer at all (SURVEY §2.4); these are the
+driver-prompt "custom operators" (as-of join, range join) built the
+Spark-first way:
+
+- as-of join: the union-marker trick — one sort per partition key, a
+  running ``last(ignorenulls)`` window, no join node at all.  Cost: ONE
+  shuffle of left+right on the partition key (vs a quadratic range
+  predicate in a naive theta-join).
+- range join: band bucketing — each left row explodes to the ~2-3 time
+  buckets its window overlaps, then an EQUI-join on (key, bucket) and an
+  exact range filter.  Catalyst gets a hash join it can plan; the bucket
+  width bounds the fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, partition_cols: list[str],
+              ts_col: str, value_cols: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.ts <= left.ts within the same partition keys (ties: the right
+    row at the exact same timestamp IS visible).
+
+    Union-marker implementation: tag rows (right=0, left=1), sort by
+    (ts, tag) within each partition, carry right values forward with
+    last(ignorenulls) over an unbounded-preceding window, keep left rows.
+    One exchange on partition_cols; whole-stage-codegen window."""
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols, F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}")
+          for c in value_cols])
+    tagged_right = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
+          if c not in partition_cols + [ts_col] else F.col(c)
+          for c in lcols],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols])
+
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (Window.partitionBy(*partition_cols)
+         .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned.select(
+        "*", *[F.last(f"__rv_{c}", ignorenulls=True).over(w)
+               .alias(f"{c}{suffix}") for c in value_cols])
+    return (filled.where(F.col("__is_left") == 1)
+            .select(*lcols, *[f"{c}{suffix}" for c in value_cols]))
+
+
+def range_join(left: DataFrame, right: DataFrame, partition_cols: list[str],
+               left_ts: str, right_ts: str,
+               lower_us: int, upper_us: int) -> DataFrame:
+    """All (left, right) pairs with the same partition keys and
+    right_ts in [left_ts + lower_us, left_ts + upper_us] (microseconds).
+
+    Band bucketing: bucket width = window span; each left row lands in the
+    2 buckets its window can overlap, the join is an equi-join on
+    (partition, bucket) — shuffle-hash-joinable, fan-out bounded — and the
+    exact BETWEEN filter runs post-join.  Returns left.* + right.* (right
+    columns prefixed ``r_`` where they collide)."""
+    if upper_us <= lower_us:
+        raise ValueError("need lower_us < upper_us")
+    width = upper_us - lower_us
+
+    # unix_micros rejects TIMESTAMP_NTZ; the cast's session-tz offset is
+    # identical on both sides, so the range DIFFERENCES are unaffected
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    lt = (left.withColumn("__lus", _us(left_ts))
+          .withColumn("__bucket", F.explode(F.sequence(
+              F.floor((F.col("__lus") + lower_us) / width),
+              F.floor((F.col("__lus") + upper_us) / width)))))
+
+    rename = {c: f"r_{c}" for c in right.columns if c in left.columns}
+    rt = (right.select(*[F.col(c).alias(rename.get(c, c))
+                         for c in right.columns])
+          .withColumn("__rus", _us(rename.get(right_ts, right_ts)))
+          .withColumn("__bucket", F.floor(F.col("__rus") / width)))
+
+    for c in partition_cols:
+        if rename.get(c, c) != c:  # align key names for the equi-join
+            rt = rt.withColumnRenamed(rename[c], c)
+    joined = lt.join(rt, ["__bucket"] + partition_cols)
+    return (joined
+            .where((F.col("__rus") >= F.col("__lus") + lower_us)
+                   & (F.col("__rus") <= F.col("__lus") + upper_us))
+            .drop("__bucket", "__lus", "__rus"))
