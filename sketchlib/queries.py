@@ -937,6 +937,32 @@ def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors")))
 
 
+@register("event_sessions", """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, SUM(new_s)::BIGINT AS n_sessions,
+       COUNT(*)::BIGINT AS n_events
+FROM o GROUP BY user_id
+""")
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    per-user session counts, tie-broken deterministically by event_id."""
+    from .relational import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800,
+                   order_tiebreak=["event_id"])
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"))
+
+
 @register("events_user_seq", """
 SELECT event_id,
        CAST(row_number() OVER (PARTITION BY user_id

@@ -20,7 +20,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "sessionize"]
+
+
+def sessionize(df: DataFrame, partition_cols: list[str], ts_col: str,
+               gap_seconds: int, order_tiebreak: list[str] | None = None
+               ) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event (within the partition keys) exceeds ``gap_seconds``.
+
+    Pure window composition — lag + cumulative sum of session-start
+    flags, one shuffle on the partition keys, whole-stage codegen.
+    Ties ordered by ``order_tiebreak`` for determinism.  Adds
+    ``session_id`` (1-based per partition) and ``is_session_start``."""
+    tiebreak = [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(ts_col), *tiebreak)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # ntz-safe epoch: cast through timestamp (offset cancels in the gap)
+    gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           - F.unix_micros(prev.cast("timestamp"))) / 1e6
+    start = (prev.isNull() | (gap > gap_seconds)).cast("long")
+    running = (Window.partitionBy(*partition_cols)
+               .orderBy(F.col(ts_col), *tiebreak)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("is_session_start", start)
+            .withColumn("session_id",
+                        F.sum("is_session_start").over(running)))
 
 
 def asof_join(left: DataFrame, right: DataFrame, partition_cols: list[str],
