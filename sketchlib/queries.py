@@ -937,6 +937,24 @@ def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors")))
 
 
+@register("events_json_stats", """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT
+         AS distinct_k
+FROM events GROUP BY event_type
+""")
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (SURVEY §2.4 checklist): extract a typed field
+    from the props JSON string with Catalyst's get_json_object and
+    aggregate — parsing stays JVM-side, pushdown-safe."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.countDistinct(k).alias("distinct_k")))
+
+
 @register("event_sessions", """
 WITH o AS (
   SELECT user_id, ts, event_id,
