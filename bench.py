@@ -49,6 +49,11 @@ HEADLINE = [
     "webtext_host_hll",
     "webtext_shingle_bloom",
     "webtext_heavy_hosts",
+    "kll_price_by_flag",
+    "asof_click_purchase",
+    "range_join_errors",
+    "event_sessions",
+    "events_json_stats",
     "tpch_q1",
     "tpch_q6",
     "revenue_by_nation",
