@@ -777,6 +777,44 @@ def webtext_shingle_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_shingles long, fn_ok boolean")
 
 
+@register("webtext_url_parts", f"""
+WITH {WEBPAGES_SQL}
+SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
+       COUNT(*)::BIGINT AS n_pages,
+       COUNT(DISTINCT regexp_extract(url, '://[^/]+(/.*)$', 1))::BIGINT
+         AS n_paths
+FROM webpages GROUP BY 1
+""")
+def webtext_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization/parsing as Catalyst expressions (regexp_extract —
+    codegen'd, no Python): per-domain page and distinct-path counts."""
+    wp = webpages(spark, sf_dir)
+    domain = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    path = F.regexp_extract("url", r"://[^/]+(/.*)$", 1)
+    return (wp.select(domain.alias("domain"), path.alias("path"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("path").alias("n_paths")))
+
+
+@register("webtext_crawl_recency", f"""
+WITH {WEBPAGES_SQL}
+SELECT host_id::BIGINT AS host_id,
+       CAST(MAX(warc_ts) AS TIMESTAMP) AS latest_crawl,
+       COUNT(*)::BIGINT AS n_pages
+FROM webpages GROUP BY host_id
+HAVING COUNT(*) >= 10
+""")
+def webtext_crawl_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-freshness per host over warc_ts (the input_hint timestamp
+    column): latest capture time for hosts with >= 10 pages."""
+    wp = webpages(spark, sf_dir)
+    return (wp.groupBy(F.col("host_id").cast("long").alias("host_id"))
+            .agg(F.max("warc_ts").alias("latest_crawl"),
+                 F.count("*").alias("n_pages"))
+            .where(F.col("n_pages") >= 10))
+
+
 _HOST_PHI = 0.05
 
 
