@@ -40,6 +40,15 @@ def main() -> None:
     ap.add_argument("--n-words", type=int, default=30)
     ap.add_argument("--sf-dir", default=None,
                     help="use the sf-dir documents-derived table instead of synth")
+    ap.add_argument("--flat-parquet", default=None,
+                    help="pre-materialized (url, host_id, n_chars) parquet: "
+                         "run ONLY the sketch-build-and-merge pipeline "
+                         "(the BASELINE scaling metric) — extraction is "
+                         "upstream input prep")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="fixed shard count for the multi-sketch build "
+                         "(keep identical across cluster sizes for a fair "
+                         "N vs 4N comparison)")
     ap.add_argument("--partitions", type=int, default=None,
                     help="input partitions (default 3x parallelism)")
     ap.add_argument("--salt-buckets", type=int, default=8)
@@ -87,20 +96,27 @@ def main() -> None:
             return synth_webpages(spark, n_pages_arg, n_words=args.n_words,
                                   partitions=parts)
 
-        def run_pipeline(pages, use_checkpoint=True):
+        def run_pipeline(pages, use_checkpoint=True, flat_input=None):
             """One full pass; returns (stages, metrics, n_pages)."""
             stages: dict[str, float] = {}
             metrics: dict[str, object] = {}
 
-            # -- stage 1: fused extract+verify+project (html crosses the
-            # JVM->python boundary exactly once; only narrow columns return)
-            t0 = time.perf_counter()
-            flat = extract_project(pages).cache()
-            n_pages = flat.count()
-            mismatches = flat.where(~F.col("ok")).count()
-            stages["extract"] = round(time.perf_counter() - t0, 3)
-            metrics["extract_mismatches"] = mismatches
-            assert mismatches == 0, "extraction byte-identity violated"
+            if flat_input is not None:
+                # sketch-build-and-merge mode: input prep happened upstream
+                t0 = time.perf_counter()
+                flat = flat_input.cache()
+                n_pages = flat.count()
+                stages["input_read"] = round(time.perf_counter() - t0, 3)
+            else:
+                # -- stage 1: fused extract+verify+project (html crosses the
+                # JVM->python boundary exactly once; narrow columns return)
+                t0 = time.perf_counter()
+                flat = extract_project(pages).cache()
+                n_pages = flat.count()
+                mismatches = flat.where(~F.col("ok")).count()
+                stages["extract"] = round(time.perf_counter() - t0, 3)
+                metrics["extract_mismatches"] = mismatches
+                assert mismatches == 0, "extraction byte-identity violated"
 
             # -- stage 2: five-sketch single-pass build + tree merge -------
             t0 = time.perf_counter()
@@ -116,9 +132,11 @@ def main() -> None:
                     flat, "url", bloom_spec(n_pages, 0.01),
                     route_cols=["url"], num_shards=4 * cores,
                     ckpt_dir=args.checkpoint_dir)
-                hll, cms, kll, td = build_sketches(flat, cols_specs[1:])
+                hll, cms, kll, td = build_sketches(flat, cols_specs[1:],
+                                                   num_shards=args.shards)
             else:
-                bloom, hll, cms, kll, td = build_sketches(flat, cols_specs)
+                bloom, hll, cms, kll, td = build_sketches(
+                    flat, cols_specs, num_shards=args.shards)
             stages["sketches"] = round(time.perf_counter() - t0, 3)
             est = HLL.cardinality(hll.state)
             metrics["hll_distinct_urls"] = int(est)
@@ -137,19 +155,27 @@ def main() -> None:
             flat.unpersist()
             return stages, metrics, n_pages
 
+        if args.flat_parquet:
+            flat_in = spark.read.parquet(args.flat_parquet)
+            warm_in = flat_in.limit(20_000)
+        else:
+            flat_in = warm_in = None
+
         # Warm the python workers WITH the actual pipeline on a tiny page
         # count: on a long-lived cluster workers/JIT are already hot, and
         # the scaling criterion excludes cluster startup (like JVM boot).
         # warmup must not touch the checkpoint (its tiny-spec
         # state would conflict with the real run's shard plan)
-        run_pipeline(make_pages(min(20_000, args.pages)),
-                     use_checkpoint=False)
+        run_pipeline(None if flat_in is not None
+                     else make_pages(min(20_000, args.pages)),
+                     use_checkpoint=False, flat_input=warm_in)
 
-        pages = make_pages(args.pages)
-        best_stages, metrics, n_pages = run_pipeline(pages)
+        pages = None if flat_in is not None else make_pages(args.pages)
+        best_stages, metrics, n_pages = run_pipeline(pages,
+                                                     flat_input=flat_in)
         best_total = sum(best_stages.values())
         for _ in range(args.reps - 1):
-            st, _m, _n = run_pipeline(pages)
+            st, _m, _n = run_pipeline(pages, flat_input=flat_in)
             if sum(st.values()) < best_total:
                 best_stages, best_total = st, sum(st.values())
 
