@@ -49,6 +49,83 @@ def test_range_join_boundaries(spark):
     assert got == [20, 25, 30]
 
 
+def _random_events(rng, n, n_users, sec_range):
+    return [(i, int(rng.integers(1, n_users + 1)),
+             _ts(0) + dt.timedelta(seconds=float(rng.integers(0, sec_range))))
+            for i in range(n)]
+
+
+def test_asof_matches_bruteforce_random(spark):
+    """Randomized cross-check vs a trivial O(n^2) python reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    lrows = _random_events(rng, 150, 6, 500)
+    rrows = [(u, t, float(i)) for i, (_, u, t) in
+             enumerate(_random_events(rng, 80, 6, 500))]
+    # dedupe right on (user, ts) keeping max value — ties must be
+    # well-defined for both implementations
+    best = {}
+    for u, t, v in rrows:
+        best[(u, t)] = max(best.get((u, t), -1.0), v)
+    rrows = [(u, t, v) for (u, t), v in best.items()]
+
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r["value_asof"] for r in
+           asof_join(left, right, ["user_id"], "ts", ["value"]).collect()}
+
+    for eid, u, t in lrows:
+        cands = [(rt, v) for (ru, rt, v) in rrows if ru == u and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_range_join_matches_bruteforce_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(321)
+    lrows = _random_events(rng, 100, 4, 400)
+    rrows = _random_events(rng, 120, 4, 400)
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(u, t) for _, u, t in rrows],
+                                  "user_id long, ts timestamp")
+    lo, hi = -30_000_000, 45_000_000  # [-30s, +45s]
+    pairs = range_join(left, right, ["user_id"], "ts", "ts", lo, hi)
+    got = sorted((r["event_id"], r["r_ts"]) for r in pairs.collect())
+
+    want = sorted(
+        (eid, rt) for eid, lu, lt in lrows for _, ru, rt in rrows
+        if lu == ru and lo <= (rt - lt).total_seconds() * 1e6 <= hi)
+    assert got == want
+
+
+def test_sessionize_matches_bruteforce_random(spark):
+    import numpy as np
+
+    from sketchlib.relational import sessionize
+
+    rng = np.random.default_rng(777)
+    rows = _random_events(rng, 200, 5, 20_000)
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    gap = 600  # 10 minutes
+    got = {r["event_id"]: r["session_id"] for r in
+           sessionize(df, ["user_id"], "ts", gap,
+                      order_tiebreak=["event_id"]).collect()}
+
+    by_user: dict = {}
+    for eid, u, t in rows:
+        by_user.setdefault(u, []).append((t, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for t, eid in evs:
+            if prev is None or (t - prev).total_seconds() > gap:
+                sid += 1
+            prev = t
+            assert got[eid] == sid, (u, eid, got[eid], sid)
+
+
 def test_range_join_crosses_bucket_edges(spark):
     """Pairs must be found even when left and right land in different
     width-sized buckets (the explode covers adjacent buckets)."""
