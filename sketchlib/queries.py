@@ -622,6 +622,29 @@ def quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_ok").cast("int"))
 
 
+@register("token_counts_bpe", """
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9[:space:]]+|[[:space:]]+'
+       ))::BIGINT AS n_bpe_tokens,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens
+FROM documents
+""")
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer segmentation:
+    contraction suffixes, letter runs, digit runs, punctuation runs,
+    whitespace — public knowledge) as a pure Catalyst regexp — the
+    cost-estimation layer of a training-data pipeline, no tokenizer
+    library needed."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe_pat = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), 0))
+        .cast("long").alias("n_bpe_tokens"),
+        F.size(tokens_col("text")).cast("long").alias("n_ws_tokens"))
+
+
 @register("langid_summary")  # rows-only: the profile heuristic isn't SQL
 def langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
