@@ -98,10 +98,13 @@ def test_stale_duplicate_rows_ignored(spark, sf_smoke, tmp_path):
     assert again.state_bytes == clean.state_bytes
 
 
-def test_sharded_contains_matches_broadcast_probe(spark, sf_smoke, tmp_path):
+@pytest.mark.parametrize("n_shards", [3, 12, 32])
+def test_sharded_contains_matches_broadcast_probe(spark, sf_smoke, tmp_path,
+                                                  n_shards):
     """Routed per-shard probing (the TB-scale path: no merged filter ever
-    exists) must agree with the broadcast-whole-state probe: no false
-    negatives on inserted keys, False for a key from an empty id space."""
+    exists) must agree with the broadcast-whole-state probe at any shard
+    count: no false negatives on inserted keys, False for a key from an
+    empty id space."""
     from pyspark.sql import functions as F
 
     from sketchlib.agg import bloom_contains_col
@@ -111,7 +114,7 @@ def test_sharded_contains_matches_broadcast_probe(spark, sf_smoke, tmp_path):
     ckpt = str(tmp_path / "g")
     spec = bloom_spec(df.count(), 0.01)
     res = checkpointed_build(df, "l_orderkey", spec, route_cols=["l_orderkey"],
-                             num_shards=SHARDS, ckpt_dir=ckpt)
+                             num_shards=n_shards, ckpt_dir=ckpt)
 
     keys = df.select("l_orderkey").distinct()
     fresh = spark.range(50_000_000, 50_002_000) \
