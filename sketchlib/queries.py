@@ -38,7 +38,8 @@ from .agg import (
 from .dedup import exact_dedup_groups, simhash_near_dup_pairs, verified_near_dup_pairs
 from .extract import extracted_text_col
 from .params import BloomParams, fpp_bound
-from .similarity import cosine_pairs, cosine_topk, ivf_topk, train_centroids
+from .similarity import (cosine_pairs, cosine_pairs_lsh, cosine_topk,
+                         ivf_topk, train_centroids)
 from .sketch import HLL, KLL, TDIGEST
 from .textops import (
     STOPWORDS,
@@ -683,18 +684,55 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector-space analogue of
-    MinHash near-dup): exact block self-join against a broadcast corpus."""
+    MinHash near-dup): EXACT distributed grid block self-join — no driver
+    collect, no corpus broadcast (similarity.cosine_pairs docstring)."""
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.35)
 
 
-@register("ann_ivf")  # rows-only: approximate by design (recall < 1)
+@register("embedding_neardup_lsh", """
+SELECT COUNT(*)::BIGINT AS n_exact, TRUE AS recall_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+""")
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-scale near-dup path with a MEASURED recall gate: SRP-LSH
+    banding + exact JVM cosine verification emits zero false positives
+    (every emitted pair is a true >= threshold pair), so recall =
+    n_lsh / n_exact.  The gate asserts recall >= 0.95 at the configured
+    band profile AND value-checks the exact pair count against the
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_exact = cosine_pairs(emb, threshold=0.35).count()
+    n_lsh = cosine_pairs_lsh(emb, threshold=0.35,
+                             n_bits=128, bands=32, rows=4).count()
+    return spark.createDataFrame(
+        [(n_exact, bool(n_lsh >= 0.95 * n_exact))],
+        "n_exact long, recall_ok boolean")
+
+
+@register("ann_ivf", """
+SELECT COUNT(*)::BIGINT AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""")
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with a MEASURED recall gate vs exact top-k:
+    recall@5 = |IVF hits ∩ exact top-5| / |exact top-5| over the query set,
+    asserted >= 0.6 at nprobe=8 of 16 centroids (measured 0.72-0.74 on the
+    weakly-clustered synthetic embeddings; a real embedding corpus with
+    cluster structure does far better at smaller nprobe).  Deterministic:
+    seeded centroids, seeded data."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = train_centroids(emb, n_centroids=16)
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, cent, k=5, nprobe=4).select(
-        "q_id", "neighbor_id", F.col("rnk").cast("long"))
+    n_queries = queries.count()
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["q_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, queries, cent, k=5, nprobe=8).collect()}
+    recall = len(exact & approx) / max(len(exact), 1)
+    return spark.createDataFrame([(n_queries, bool(recall >= 0.6))],
+                                 "n_queries long, recall_ok boolean")
 
 
 # ---------------------------------------------------------------------------
