@@ -43,7 +43,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .agg import (PARTIAL_SCHEMA, BuildResult, SketchSpec,
-                  build_partials_keyed, shard_expr)
+                  build_partials_keyed, shard_expr, tree_merge)
 
 __all__ = ["checkpointed_build", "load_manifest", "CheckpointState",
            "sharded_contains"]
@@ -195,25 +195,17 @@ def sharded_contains(probes: DataFrame, probe_col: str,
     spec = SketchSpec(manifest.spec_kind, manifest.spec_cfg)
     ops = spec.ops
 
-    # keep only the manifest-committed blob per shard (stale duplicates
-    # from a crash between append and commit are discarded by sha, same
-    # rule as _finalize)
-    shas = {int(s): v.get("sha") for s, v in manifest.shards.items()}
-
-    def keep_committed(batches):
-        for pdf in batches:
-            ok = [hashlib.sha256(bytes(b)).hexdigest()[:16] == shas.get(int(s))
-                  for s, b in zip(pdf["shard"], pdf["state"])]
-            yield pdf[ok]
-
-    states = (spark.read.parquet(_partials_dir(ckpt_dir))
-              .mapInPandas(keep_committed, PARTIAL_SCHEMA)
+    states = (_committed_states(spark, ckpt_dir, manifest)
               .withColumnRenamed("shard", "__shard"))
     routed = probes.withColumn(
         "__shard", shard_expr([probe_col], manifest.num_shards))
-    # shard states are few and small relative to probes: broadcast them so
-    # the probe side never shuffles for the join
-    joined = routed.join(F.broadcast(states.select("__shard", "state")),
+    # NO broadcast of the states side (round-1 verdict finding #2): at
+    # 10^12 keys the blobs together ARE the merged filter (~TBs), and the
+    # groupBy("__shard") below shuffles probes by shard anyway — a shuffle
+    # join delivers exactly ONE shard blob to each probe task, which is
+    # the whole point of sharding.  The explicit hint stops the planner
+    # from auto-broadcasting what at scale would be terabytes.
+    joined = routed.join(states.select("__shard", "state").hint("shuffle_hash"),
                          "__shard", "left")
 
     out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
@@ -240,38 +232,70 @@ def sharded_contains(probes: DataFrame, probe_col: str,
         probe_group, f"{out_fields}, member boolean")
 
 
+def _committed_states(spark: SparkSession, ckpt_dir: str,
+                      state: CheckpointState) -> DataFrame:
+    """(shard, state, n) with exactly ONE manifest-committed row per shard.
+
+    Duplicates happen two ways after a crash between the parquet append and
+    the manifest commit: a garbage blob (different bytes — dropped by the
+    sha check) or a byte-identical rebuild of the same shard (same sha —
+    BOTH rows pass the sha check, so an explicit per-shard dedupe is
+    required or every probe routed there fans out twice).  Empty shards
+    (nothing inserted) have no row at all; callers treat absence as the
+    identity sketch."""
+    shas = {int(s): v.get("sha") for s, v in state.shards.items()}
+
+    def keep_committed(batches):
+        seen: set[int] = set()  # within-partition dedupe of identical blobs
+        for pdf in batches:
+            keep = []
+            for s, b in zip(pdf["shard"], pdf["state"]):
+                s = int(s)
+                ok = (s not in seen and
+                      hashlib.sha256(bytes(b)).hexdigest()[:16] == shas.get(s))
+                if ok:
+                    seen.add(s)
+                keep.append(ok)
+            yield pdf[keep]
+
+    return (spark.read.parquet(_partials_dir(ckpt_dir))
+            .mapInPandas(keep_committed, PARTIAL_SCHEMA)
+            .dropDuplicates(["shard"]))  # cross-partition identical rebuilds
+
+
+_TREE_MERGE_MIN_SHARDS = 64
+
+
 def _finalize(spark: SparkSession, spec: SketchSpec, state: CheckpointState,
               ckpt_dir: str) -> BuildResult:
-    """Merge all checkpointed shards in deterministic (shard-id) order.
+    """Merge all checkpointed shards into one final sketch.
 
-    Duplicates (a shard rebuilt after a crash that hit between the parquet
-    append and the manifest write) are resolved by keeping the row whose
-    sha matches the manifest; shards marked empty contribute the identity
-    sketch."""
+    Below _TREE_MERGE_MIN_SHARDS the blobs are merged driver-side in
+    deterministic shard order; above it, a log-depth executor-side
+    tree_merge reduces them first so the driver only ever holds <= fanout
+    blobs (round-1 verdict finding #7 — at 4096 shards x 1 MB states the
+    sequential driver loop was the bottleneck and memory hazard)."""
     ops = spec.ops
     t0 = time.perf_counter()
-    rows = spark.read.parquet(_partials_dir(ckpt_dir)).collect() \
-        if os.path.exists(_partials_dir(ckpt_dir)) else []
-    by_shard: dict[int, bytes] = {}
-    for r in rows:
-        s = int(r["shard"])
-        lineage = state.shards.get(str(s))
-        if lineage is None:
-            continue  # orphan row from an uncommitted round
-        blob = bytes(r["state"])
-        if lineage.get("sha") and \
-                hashlib.sha256(blob).hexdigest()[:16] != lineage["sha"]:
-            continue  # stale duplicate; manifest sha wins
-        by_shard[s] = blob
+    have_rows = os.path.exists(_partials_dir(ckpt_dir))
+    non_empty = [s for s in sorted(state.done)
+                 if not state.shards[str(s)].get("empty")]
 
     acc = spec.create()
-    n_rows = 0
-    for s in sorted(state.done):
-        lineage = state.shards[str(s)]
-        if lineage.get("empty"):
-            continue
-        acc = ops.merge(acc, ops.deserialize(by_shard[s]))
-        n_rows += lineage["n"]
+    if have_rows and non_empty:
+        states = _committed_states(spark, ckpt_dir, state)
+        if len(non_empty) > _TREE_MERGE_MIN_SHARDS:
+            reduced = tree_merge(states, spec, num_partials=state.num_shards,
+                                 fanout=16).collect()
+            for r in sorted(reduced, key=lambda r: int(r["shard"])):
+                acc = ops.merge(acc, ops.deserialize(bytes(r["state"])))
+        else:
+            by_shard = {int(r["shard"]): bytes(r["state"])
+                        for r in states.collect()}
+            for s in non_empty:
+                acc = ops.merge(acc, ops.deserialize(by_shard[s]))
+
+    n_rows = sum(state.shards[str(s)]["n"] for s in non_empty)
     secs = time.perf_counter() - t0
     lineage_list = [{"shard": s, **state.shards[str(s)]}
                     for s in sorted(state.done)]

@@ -26,7 +26,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import derive_hashes, hash64
+from .hashing import derive_hashes
 from .textops import shingles_col, tokens_col, widen
 
 __all__ = [
@@ -59,41 +59,49 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        shingle_n: int = 3) -> DataFrame:
     """(id, sig array<bigint>) — MinHash signature over word-shingle sets.
 
-    The signature is computed in one vectorized pass per Arrow batch:
-    the batch's shingles are flattened into a single array, hashed once
-    (hash64 + derived families), and scattered back per-document with
-    np.minimum.at — no per-document Python loop bodies doing real work.
+    Shingling AND base hashing happen JVM-side (shingles_col Catalyst
+    expressions + per-shingle xxhash64 — round-1 verdict finding #4
+    replaced a per-document Python join loop; hashing before the Arrow
+    hop also shrinks the transfer from shingle strings to one int64 per
+    shingle).  The Python side only concatenates the batch's hash arrays,
+    derives each hash family with a splitmix remix of the base hash, and
+    takes per-document minima with np.minimum.reduceat over the contiguous
+    per-doc segments (an order of magnitude faster than the unbuffered
+    np.minimum.at scatter).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks = pdf[text_col].fillna("").str.split()
-            shingles: list[list[str]] = []
-            for t in toks:
-                if len(t) >= shingle_n:
-                    shingles.append([" ".join(t[i : i + shingle_n])
-                                     for i in range(len(t) - shingle_n + 1)])
-                else:
-                    shingles.append([" ".join(t)] if t else [])
-            counts = np.array([len(s) for s in shingles], np.int64)
-            flat = [s for doc in shingles for s in doc]
+            sh = pdf["__shash"]
+            counts = sh.str.len().to_numpy(np.int64)
             ndocs = len(pdf)
             sig = np.full((ndocs, num_hashes), np.iinfo(np.int64).max, np.int64)
-            if flat:
-                base = hash64(flat)
-                doc_idx = np.repeat(np.arange(ndocs), counts)
+            if counts.sum():
+                base = np.concatenate([np.asarray(a, np.int64) for a in sh
+                                       if len(a)]).astype(np.uint64)
+                # per-doc shingles are contiguous in the flat array:
+                # segment boundaries, skipping zero-shingle docs (reduceat
+                # misreads empty segments)
+                nz = counts > 0
+                starts = np.zeros(ndocs, np.int64)
+                starts[1:] = np.cumsum(counts)[:-1]
+                starts_nz = starts[nz]
                 # one derived family at a time: materializing the full
                 # [H, nshingles] table costs H x the shingle count in
                 # DRAM traffic (256 MB per 500k-shingle batch at H=64)
                 for h in range(num_hashes):
                     fam_h = derive_hashes(base, 1, seed=0x5EED + h)[0]
                     half = (fam_h >> np.uint64(1)).astype(np.int64)
-                    np.minimum.at(sig[:, h], doc_idx, half)
+                    sig[nz, h] = np.minimum.reduceat(half, starts_nz)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sig)})
 
     id_type = dict(df.dtypes)[id_col]
-    return widen(df.select(id_col, text_col)).mapInPandas(
-        run, f"{id_col} {id_type}, sig array<bigint>")
+    shingled = widen(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)),
+            lambda s: F.xxhash64(s)).alias("__shash"))
+    return shingled.mapInPandas(run, f"{id_col} {id_type}, sig array<bigint>")
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",

@@ -458,23 +458,24 @@ def hll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     24 hour-states each (the aggregate-reuse property unique to mergeable
     sketches — a time-series store keeps one fine-grained sketch level and
     answers every coarser granularity without touching the data again)."""
+    from .agg import rollup_states
+
     ev = _t(spark, sf_dir, "events")
     hours = sketch_grouped(
         ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
         ["hour"], "user_id", hll_spec(p=13), strategy="local_combine")
-    # roll hourly states up to days (tiny: merge blobs, no raw-row scan)
-    from functools import reduce as _reduce
-    by_day: dict = {}
-    for r in hours.collect():
-        day = str(r["hour"])[:10]
-        by_day.setdefault(day, []).append(
-            HLL.deserialize(bytes(r["state"])))
+    # roll hourly states up to days EXECUTOR-side (one blob shuffle, no
+    # raw-row rescan, nothing on the driver until the 30 gate rows)
+    days = rollup_states(
+        hours.withColumn("day", F.date_trunc("day", F.col("hour"))),
+        ["day"], hll_spec(p=13))
     exact = {str(r["day"])[:10]: r["c"] for r in
              ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
              .agg(F.countDistinct("user_id").alias("c")).collect()}
     rows = []
-    for day, states in by_day.items():
-        est = HLL.cardinality(_reduce(HLL.merge, states))
+    for r in days.collect():
+        day = str(r["day"])[:10]
+        est = HLL.cardinality(HLL.deserialize(bytes(r["state"])))
         true = exact[day]
         tol = max(5 * 1.04 / math.sqrt(2**13) * true, 3)
         rows.append((day + " 00:00:00", int(true),

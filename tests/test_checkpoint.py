@@ -160,3 +160,63 @@ def test_resume_is_noop_when_complete(spark, sf_smoke, tmp_path):
     m2 = load_manifest(ckpt)
     assert second.state_bytes == first.state_bytes
     assert m1.rounds == m2.rounds  # no new build round ran
+
+
+def test_identical_duplicate_blob_probes_once(spark, sf_smoke, tmp_path):
+    """Crash AFTER the parquet append but BEFORE the manifest commit, then
+    a deterministic rebuild: the partials dir holds TWO byte-identical rows
+    for the shard, both carrying the manifest sha.  Probing must not fan
+    each routed probe out twice (round-2 advice: duplicate probe rows)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.checkpoint import sharded_contains
+
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "i")
+    spec = bloom_spec(df.count(), 0.01)
+    checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                       num_shards=SHARDS, ckpt_dir=ckpt)
+    # duplicate EVERY shard row byte-identically (worst case)
+    part_dir = os.path.join(ckpt, "partials")
+    spark.read.parquet(part_dir).write.mode("append").parquet(part_dir)
+
+    probes = df.select("l_orderkey").distinct()
+    n_expected = probes.count()
+    out = sharded_contains(probes, "l_orderkey", ckpt)
+    assert out.count() == n_expected          # no fan-out duplication
+    assert out.where(~F.col("member")).count() == 0
+
+
+def test_sharded_contains_states_not_broadcast(spark, sf_smoke, tmp_path):
+    """The states side must reach probe tasks through the shard shuffle,
+    never a broadcast: broadcasting all blobs ships the whole (at scale,
+    ~TB) filter to every executor (round-1 verdict finding #2)."""
+    import contextlib
+    import io
+
+    from sketchlib.checkpoint import sharded_contains
+
+    df = _li(spark, sf_smoke)
+    ckpt = str(tmp_path / "j")
+    checkpointed_build(df, "l_orderkey", bloom_spec(df.count(), 0.01),
+                       route_cols=ROUTE, num_shards=SHARDS, ckpt_dir=ckpt)
+    out = sharded_contains(df.select("l_orderkey"), "l_orderkey", ckpt)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    assert "BroadcastExchange" not in buf.getvalue()
+
+
+def test_finalize_tree_merges_many_shards(spark, sf_smoke, tmp_path):
+    """Above _TREE_MERGE_MIN_SHARDS the finalize path reduces executor-side;
+    the result must match a small-shard-count build of the same data
+    (bloom merge is an OR — byte-identical regardless of shard plan)."""
+    df = _li(spark, sf_smoke)
+    spec = bloom_spec(df.count(), 0.01)
+    few = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                             num_shards=4, ckpt_dir=str(tmp_path / "k4"))
+    many = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                              num_shards=256, ckpt_dir=str(tmp_path / "k256"))
+    assert many.state_bytes == few.state_bytes
+    assert many.n_rows == few.n_rows
+    assert len(many.shard_lineage) == 256

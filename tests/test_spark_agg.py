@@ -187,3 +187,27 @@ class TestTreeMergeTopology:
         assert sum(s["n"] for s in res.shard_lineage) == n
         m = res.metrics()
         assert m["n_rows"] == n and m["kind"] == "bloom"
+
+
+class TestRollupStates:
+    def test_rollup_matches_direct_coarse_build(self, spark):
+        """10k fine-grained HLL states rolled up to 50 coarse groups must be
+        byte-identical to sketching the coarse grouping directly (register
+        max is associative/commutative — the grouping path cannot matter).
+        All merging happens executor-side: no driver collect of states."""
+        from sketchlib.agg import rollup_states, sketch_grouped
+
+        spec = hll_spec(p=8)
+        df = (spark.range(0, 200_000, 1, 16)
+              .withColumn("fine", F.col("id") % 10_000)
+              .withColumn("coarse", F.col("fine") % 50)
+              .withColumn("v", F.col("id") % 7_000))
+        fine = sketch_grouped(df, ["fine", "coarse"], "v", spec,
+                              strategy="local_combine")
+        assert fine.count() == 10_000
+        rolled = {r["coarse"]: (bytes(r["state"]), r["n"])
+                  for r in rollup_states(fine, ["coarse"], spec).collect()}
+        direct = {r["coarse"]: (bytes(r["state"]), r["n"])
+                  for r in sketch_grouped(df, ["coarse"], "v", spec,
+                                          strategy="local_combine").collect()}
+        assert rolled == direct
