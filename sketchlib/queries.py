@@ -41,6 +41,7 @@ from .params import BloomParams, fpp_bound
 from .similarity import (cosine_pairs, cosine_pairs_lsh, cosine_topk,
                          ivf_topk, train_centroids)
 from .sketch import HLL, KLL, TDIGEST
+from .stats import table_row_count
 from .textops import (
     STOPWORDS,
     fingerprint_docs,
@@ -83,7 +84,9 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every probe is a true member (FK-clean data), so the bloom answer is
     exact — this gates the no-false-negative invariant end-to-end."""
     cust = _t(spark, sf_dir, "customer")
-    res = build_sketch(cust, "c_custkey", bloom_spec(cust.count(), 0.01))
+    # sizing n from parquet footer metadata — no count() pre-pass scan
+    res = build_sketch(cust, "c_custkey",
+                       bloom_spec(table_row_count(sf_dir, "customer"), 0.01))
     probes = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
     return probes.where(
         bloom_contains_col(spark, res.state_bytes, F.col("o_custkey")))
@@ -96,7 +99,7 @@ def bloom_fpp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_ok == measured FP rate on 100K fresh keys within the published bound
     (1-e^{-kn/m})^k plus binomial sampling slack."""
     cust = _t(spark, sf_dir, "customer")
-    n = cust.count()
+    n = table_row_count(sf_dir, "customer")  # footer metadata, no scan
     res = build_sketch(cust, "c_custkey", bloom_spec(n, 0.01))
     fn_cnt = cust.where(
         ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
@@ -121,7 +124,7 @@ def bloom_blocked_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     E[FPP] = mean_w ( (popcount(w)/64)^k ) — measured FP must sit within
     sampling slack of that self-derived expectation."""
     cust = _t(spark, sf_dir, "customer")
-    n = cust.count()
+    n = table_row_count(sf_dir, "customer")  # footer metadata, no scan
     res = build_sketch(cust, "c_custkey", bloom_spec(n, 0.01, blocked=True))
     fn_cnt = cust.where(
         ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
@@ -155,7 +158,7 @@ def bloom_sharded_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .checkpoint import checkpointed_build, load_manifest, sharded_contains
 
     cust = _t(spark, sf_dir, "customer")
-    n = cust.count()
+    n = table_row_count(sf_dir, "customer")  # footer metadata, no scan
     spec = bloom_spec(n, 0.01)
     with tempfile.TemporaryDirectory() as tmp:
         ckpt = f"{tmp}/ck"
@@ -244,7 +247,7 @@ _CMS_D, _CMS_W, _HH_PHI = 7, 8192, 0.005
 
 
 @register("cms_heavy_tokens", f"""
-WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '[[:space:]]+')) AS token FROM documents),
 tot AS (SELECT COUNT(*)::DOUBLE AS total FROM toks)
 SELECT token, COUNT(*)::BIGINT AS freq FROM toks
 GROUP BY token
@@ -271,7 +274,7 @@ def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("cms_point_bound", """
-WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '[[:space:]]+')) AS token FROM documents)
 SELECT token, TRUE AS ok FROM (
   SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
   ORDER BY freq DESC, token ASC LIMIT 20
@@ -544,7 +547,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("neardup_pairs", """
-WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH l AS (SELECT doc_id, regexp_split_to_array(trim(text), '[[:space:]]+') AS toks FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3 THEN
@@ -576,14 +579,62 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    bands=32, rows=2, shingle_n=3)
 
 
-@register("simhash_pairs")  # rows-only: hamming blocking isn't ANSI-SQL friendly
+# simhash oracle: the md5-based simhash is reconstructed in pure SQL —
+# per-token 64-bit hash = first 16 md5 hex chars, 64 per-bit vote sums,
+# sign rule 2*ones > ntok, then brute-force pairing on bit_count(xor).
+# The Spark side blocks on quarters (pigeonhole-exact at hamming <= 3),
+# so both compute the same exact pair set by different physical plans.
+_SIMHASH_ONES = ", ".join(
+    f"SUM(((hv >> {i}) & 1))::BIGINT AS o{i}" for i in range(64))
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2*o{i} > ntok THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+    for i in range(64))
+
+
+@register("simhash_pairs", f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '[[:space:]]+')) AS t
+  FROM documents WHERE trim(coalesce(text, '')) != ''
+),
+h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS hv FROM tok),
+v AS (SELECT doc_id, COUNT(*) AS ntok, {_SIMHASH_ONES} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM v)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, EXACT at hamming <= 3 (pigeonhole over the
+    four quarter blocks) and fully value-checked: the md5-hash variant lets
+    the oracle rebuild the same simhashes in SQL, while the Spark plan is
+    the scale path (quarter-blocked equi-join, never all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=12)
+    return simhash_near_dup_pairs(docs, max_hamming=3, hash="md5")
 
 
-@register("doc_fingerprints")  # rows-only: rolling-hash not SQL-expressible
+@register("doc_fingerprints", """
+SELECT doc_id,
+  CASE WHEN fpu >= 9223372036854775808::HUGEINT
+       THEN (fpu - 18446744073709551616::HUGEINT)::BIGINT
+       ELSE fpu::BIGINT END AS fingerprint
+FROM (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        [(unicode(c) + 1)::HUGEINT
+         for c in list_reverse(string_split(coalesce(text, ''), ''))]),
+      (acc, b) -> (acc * 1099511628211 + b) % 18446744073709551616::HUGEINT
+    ) AS fpu
+  FROM documents
+)
+""")
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit polynomial rolling-hash fingerprints, value-checked: the
+    oracle replays the same Horner recurrence over per-char codepoints in
+    HUGEINT arithmetic mod 2^64 (codepoint == utf-8 byte for this ASCII
+    corpus; the numpy side hashes raw utf-8 bytes)."""
     return fingerprint_docs(_t(spark, sf_dir, "documents"))
 
 
@@ -593,8 +644,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("token_stats", """
 SELECT doc_id,
-       len(string_split(text, ' '))::BIGINT AS n_tokens,
-       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_types
+       len(regexp_split_to_array(trim(text), '[[:space:]]+'))::BIGINT AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '[[:space:]]+')))::BIGINT AS n_types
 FROM documents
 """)
 def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,7 +657,7 @@ _SW_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
 @register("quality_stats", f"""
-WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '[[:space:]]+') AS toks FROM documents)
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
        len(toks)::BIGINT AS n_tokens,
@@ -629,7 +680,7 @@ SELECT doc_id,
        len(regexp_extract_all(text,
            '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9[:space:]]+|[[:space:]]+'
        ))::BIGINT AS n_bpe_tokens,
-       len(string_split(text, ' '))::BIGINT AS n_ws_tokens
+       len(regexp_split_to_array(trim(text), '[[:space:]]+'))::BIGINT AS n_ws_tokens
 FROM documents
 """)
 def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,8 +698,40 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col("text")).cast("long").alias("n_ws_tokens"))
 
 
-@register("langid_summary")  # rows-only: the profile heuristic isn't SQL
+# langid oracle: per-language stopword-profile scores via list_filter/IN,
+# argmax with first-wins tie-break in profile order (numpy argmax picks the
+# first maximum), 'und' when all scores are zero — the exact scoring rule
+# of textops._langid_batch in SQL.
+from .textops import LANG_PROFILES as _LP  # noqa: E402
+
+_LANGS = list(_LP)
+_LANG_SCORES = ",\n       ".join(
+    "len(list_filter(toks, x -> x IN ({})))::BIGINT AS s_{}".format(
+        ", ".join(f"'{w}'" for w in _LP[lg]), lg)
+    for lg in _LANGS)
+_LANG_CASE = ("CASE WHEN greatest({}) = 0 THEN 'und' ".format(
+    ", ".join(f"s_{lg}" for lg in _LANGS)))
+for _i, _lg in enumerate(_LANGS):
+    _rest = [f"s_{_lg} >= s_{_o}" for _o in _LANGS[_i + 1:]]
+    _LANG_CASE += "WHEN {} THEN '{}' ".format(
+        " AND ".join(_rest) if _rest else "TRUE", _lg)
+_LANG_CASE += "END"
+
+
+@register("langid_summary", f"""
+WITH t AS (SELECT doc_id,
+    CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(lower(text)), '[[:space:]]+')
+    END AS toks
+  FROM documents),
+s AS (SELECT doc_id, {_LANG_SCORES} FROM t)
+SELECT {_LANG_CASE} AS lang_pred, COUNT(*)::BIGINT AS n
+FROM s GROUP BY 1 ORDER BY 1
+""")
 def langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, value-checked: the oracle replays the
+    exact scoring rule (per-profile counts with multiplicity, first-wins
+    argmax, 'und' on zero) in SQL."""
     docs = _t(spark, sf_dir, "documents")
     return langid_docs(docs).groupBy("lang_pred").agg(
         F.count("*").alias("n")).orderBy("lang_pred")
@@ -811,7 +894,7 @@ def webtext_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("webtext_shingle_bloom", f"""
 WITH {WEBPAGES_SQL},
-l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM webpages),
+l AS (SELECT doc_id, regexp_split_to_array(trim(text), '[[:space:]]+') AS toks FROM webpages),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3 THEN

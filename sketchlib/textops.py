@@ -21,7 +21,7 @@ from .hashing import hash64, to_byte_matrix
 __all__ = [
     "tokens_col", "shingles_col", "token_stats", "quality_stats",
     "STOPWORDS", "stopword_count_col", "fingerprint_docs", "simhash_docs",
-    "langid_docs", "LANG_PROFILES", "widen",
+    "simhash_docs_md5", "langid_docs", "LANG_PROFILES", "widen",
 ]
 
 
@@ -173,6 +173,56 @@ def simhash_docs(df: DataFrame, id_col: str = "doc_id",
     id_type = dict(df.dtypes)[id_col]
     return widen(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} {id_type}, simhash long")
+
+
+def simhash_docs_md5(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, simhash bigint) — simhash whose per-token 64-bit hash is the
+    first 16 hex chars of md5(token), a hash BOTH Spark and DuckDB can
+    compute — which makes the whole simhash+blocking pipeline value-
+    checkable by a SQL oracle (simhash_docs above uses the faster custom
+    hash64 kernel; the bit-vote/sign/blocking logic is identical).
+
+    md5 and the two 32-bit hex chunks are computed JVM-side (Catalyst md5 +
+    conv) INSIDE the token array — no explode, no shuffle, the doc's tokens
+    never leave its row; the Python side flattens each Arrow batch and
+    takes per-doc bit-vote sums with one np.add.reduceat over the
+    contiguous per-doc segments.  Whitespace-only docs are excluded (no
+    tokens to vote)."""
+    chunk = lambda part: lambda m: F.conv(  # noqa: E731
+        F.substring(m, part, 8), 16, 10).cast("long")
+    sel = (df.where(F.trim(F.col(text_col)) != "")
+           .select(F.col(id_col),
+                   F.transform(tokens_col(text_col),
+                               lambda t: F.md5(t)).alias("__m"))
+           .select(id_col,
+                   F.transform("__m", chunk(1)).alias("__hi"),
+                   F.transform("__m", chunk(9)).alias("__lo")))
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["__hi"].str.len().to_numpy(np.int64)
+            hi = np.concatenate(list(pdf["__hi"])).astype(np.uint64)
+            lo = np.concatenate(list(pdf["__lo"])).astype(np.uint64)
+            hv = (hi << np.uint64(32)) | lo
+            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int64)
+            starts = np.zeros(len(pdf), np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            ones = np.add.reduceat(bits, starts, axis=0)  # [D, 64]
+            sim_bits = (2 * ones > counts[:, None]).astype(np.uint64)
+            sim = np.zeros(len(pdf), np.uint64)
+            for b in range(64):
+                sim |= sim_bits[:, b] << np.uint64(b)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "simhash": sim.astype(np.int64)})
+
+    id_type = dict(df.dtypes)[id_col]
+    return widen(sel).mapInPandas(run, f"{id_col} {id_type}, simhash long")
 
 
 # ---------------------------------------------------------------------------

@@ -47,3 +47,22 @@ def test_append_and_time_travel(io, spark):
 def test_missing_table_raises(io):
     with pytest.raises(FileNotFoundError):
         io.read("nope")
+
+
+class TestMetadataRowCount:
+    def test_footer_count_matches_scan_count(self, spark, sf_test):
+        """parquet_row_count reads only footers — it must agree with a full
+        scan for every test table (it feeds Bloom sizing, replacing the
+        count() pre-pass that at 100 TB would double scan cost)."""
+        from sketchlib.stats import table_row_count
+
+        for name in ("customer", "orders", "documents"):
+            scanned = spark.read.parquet(f"{sf_test}/{name}.parquet").count()
+            assert table_row_count(sf_test, name) == scanned
+
+    def test_no_spark_needed(self, sf_test):
+        """Sizing from metadata is a pure driver-side pyarrow operation —
+        callable before any SparkSession exists (hence: zero Spark jobs)."""
+        from sketchlib.stats import table_row_count
+
+        assert table_row_count(sf_test, "customer") > 0
