@@ -125,6 +125,25 @@ def sketch_build_throughput(spark, sf_dir: str) -> dict:
     }
 
 
+def grouped_state_bytes(spark, sf_dir: str) -> dict:
+    """Shuffle-bytes footprint of a high-cardinality grouped sketch table
+    (720 hourly HLL states over events) — the metric the sparse HLL wire
+    format shrinks (dense p=13 would be 8 KB/group flat)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.agg import hll_spec, sketch_grouped
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = sketch_grouped(
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
+        ["hour"], "user_id", hll_spec(p=13), strategy="local_combine")
+    row = hours.select(F.sum(F.octet_length("state")).alias("b"),
+                       F.count("*").alias("g")).collect()[0]
+    return {"hourly_hll_groups": int(row["g"]),
+            "hourly_hll_state_bytes": int(row["b"]),
+            "hourly_hll_dense_bytes": int(row["g"]) * (1 << 13)}
+
+
 def run_bench(sf_dir: str | None = None, cores: int | None = None,
               include_queries: bool = True, spark=None) -> dict:
     from sketchlib.packaging import ensure_shipped
@@ -164,6 +183,7 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
             total += dt
 
     extras = sketch_build_throughput(spark, sf_dir)
+    extras.update(grouped_state_bytes(spark, sf_dir))
     total += extras["sketch_build_secs"] + extras["tree_merge_secs"]
     timings["sketch_build_5x"] = extras["sketch_build_secs"]
     timings["tree_merge"] = extras["tree_merge_secs"]

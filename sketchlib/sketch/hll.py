@@ -97,6 +97,19 @@ class Hll:
                 "rel_std_err": self.rel_error(state)}
 
     def serialize(self, state: HllState) -> bytes:
+        """Dense (uint8[m]) or sparse ((int32 idx, uint8 rho) pairs) wire
+        format, chosen by occupancy: sparse costs 5 bytes per nonzero
+        register, so it wins below m/5 occupancy.  High-cardinality grouped
+        sketch tables (thousands of groups, few elements each) shuffle
+        ~10x fewer bytes sparse; a saturated global sketch stays dense.
+        Both decode to the same in-memory dense state, so merge is
+        encoding-agnostic (sparse<->dense merges just work)."""
+        nnz = int(np.count_nonzero(state.registers))
+        if nnz * 5 < (1 << state.p):
+            idx = np.nonzero(state.registers)[0].astype(np.int32)
+            return pack_state(self.name,
+                              {"p": state.p, "n": state.n_updates, "enc": "s"},
+                              [idx, state.registers[idx]])
         return pack_state(self.name, {"p": state.p, "n": state.n_updates},
                           [state.registers])
 
@@ -104,6 +117,10 @@ class Hll:
         kind, header, bufs = unpack_state(data)
         if kind != self.name:
             raise ValueError(f"expected hll blob, got {kind}")
+        if header.get("enc") == "s":
+            regs = np.zeros(1 << header["p"], np.uint8)
+            regs[bufs[0]] = bufs[1].astype(np.uint8, copy=False)
+            return HllState(header["p"], regs, header["n"])
         return HllState(header["p"], bufs[0].astype(np.uint8, copy=False), header["n"])
 
 

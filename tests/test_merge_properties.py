@@ -196,3 +196,54 @@ class TestQuantileSketchAlgebra:
         m1 = KLL.merge(l1, r1)
         m2 = KLL.merge(r1, l1)
         assert m1.n == m2.n
+
+
+class TestHllSparseEncoding:
+    """The sparse HLL wire format: byte-compatible with dense (both decode
+    to the same registers), chosen automatically by occupancy."""
+
+    def test_roundtrip_sparse_and_dense(self):
+        import numpy as np
+
+        from sketchlib.sketch import HLL
+
+        sparse_st = HLL.update(HLL.create(p=12), np.arange(50))
+        blob = HLL.serialize(sparse_st)
+        assert len(blob) < 1024  # far below the 4 KB dense size
+        back = HLL.deserialize(blob)
+        assert np.array_equal(back.registers, sparse_st.registers)
+        assert back.n_updates == sparse_st.n_updates
+
+        dense_st = HLL.update(HLL.create(p=8), np.arange(5000))
+        blob_d = HLL.serialize(dense_st)
+        assert np.array_equal(HLL.deserialize(blob_d).registers,
+                              dense_st.registers)
+
+    def test_sparse_dense_merge_equivalence(self):
+        import numpy as np
+
+        from sketchlib.sketch import HLL
+
+        small = HLL.update(HLL.create(p=10), np.arange(30))        # sparse
+        big = HLL.update(HLL.create(p=10), np.arange(100, 20000))  # dense
+        merged = HLL.merge(HLL.deserialize(HLL.serialize(small)),
+                           HLL.deserialize(HLL.serialize(big)))
+        direct = HLL.update(HLL.update(HLL.create(p=10), np.arange(30)),
+                            np.arange(100, 20000))
+        assert np.array_equal(merged.registers, direct.registers)
+
+    def test_grouped_states_shrink(self, spark):
+        """Per-group states over a high-cardinality grouping serialize
+        mostly sparse — the shuffle-bytes win this encoding exists for."""
+        from pyspark.sql import functions as F
+
+        from sketchlib.agg import hll_spec, sketch_grouped
+
+        df = (spark.range(0, 100_000, 1, 8)
+              .withColumn("g", F.col("id") % 1000)
+              .withColumn("v", F.col("id")))
+        states = sketch_grouped(df, ["g"], "v", hll_spec(p=13),
+                                strategy="local_combine").collect()
+        total = sum(len(bytes(r["state"])) for r in states)
+        dense_total = len(states) * (1 << 13)
+        assert total < dense_total / 4  # ~100 elems/group => deeply sparse
