@@ -44,6 +44,8 @@ HEADLINE = [
     "simhash_pairs",
     "ann_topk",
     "embedding_neardup",
+    "multimodal_pipeline",
+    "kll_rollup_day",
     "webtext_extract_ok",
     "webtext_url_bloom",
     "webtext_host_hll",

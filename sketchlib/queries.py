@@ -487,6 +487,44 @@ def hll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.col("day").cast("timestamp"))
 
 
+@register("kll_rollup_day", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(value)::BIGINT AS n_values, TRUE AS ok
+FROM events GROUP BY 1
+""")
+def kll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup_states over a NON-idempotent sketch: hourly KLL quantile
+    states merged to days executor-side; each day's median estimate must
+    sit within KLL's rank-error bound of the exact day median.  (HLL
+    rollup is max-merge and order-free; KLL merge compacts — this gates
+    that the rollup path preserves the rank guarantee too.)"""
+    from .agg import rollup_states
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hours = sketch_grouped(
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
+        ["hour"], "value", kll_spec(k=200), strategy="local_combine")
+    days = rollup_states(
+        hours.withColumn("day", F.date_trunc("day", F.col("hour"))),
+        ["day"], kll_spec(k=200))
+    # estimated medians (30 tiny rows to the driver), then ONE pass over
+    # events computes every day's exact rank of its estimate
+    meds = [(r["day"], float(KLL.quantile(
+        KLL.deserialize(bytes(r["state"])), 0.5)))
+        for r in days.collect()]
+    med_df = spark.createDataFrame(meds, "day timestamp, med double")
+    ranked = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "value")
+              .join(F.broadcast(med_df), "day")
+              .groupBy("day")
+              .agg(F.count("value").alias("n_values"),
+                   F.sum((F.col("value") <= F.col("med")).cast("long"))
+                   .alias("below")))
+    # KLL rank error ~1.7% at k=200; allow generous slack for merged states
+    return ranked.select(
+        "day", F.col("n_values").cast("long"),
+        (F.abs(F.col("below") / F.col("n_values") - 0.5) <= 0.05).alias("ok"))
+
+
 @register("stream_windowed_users", """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
        COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok
@@ -817,6 +855,51 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = len(exact & approx) / max(len(exact), 1)
     return spark.createDataFrame([(n_queries, bool(recall >= 0.6))],
                                  "n_queries long, recall_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# multimodal: opaque binary payloads + typed metadata (multimodal.py)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_pipeline", """
+SELECT doc_id,
+       21::BIGINT AS n_bytes,
+       (16 + doc_id % 9)::INT AS width,
+       (8 + doc_id % 7)::INT AS height,
+       ((16 + doc_id % 9) * (8 + doc_id % 7))::INT AS n_pixels,
+       ((1 + doc_id % 4 + 1) // 2)::BIGINT AS n_frames_sampled
+FROM documents
+""")
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal column contract end to end, value-checked: a binary
+    payload (5-byte >HHB header + 16 md5 body bytes, synthesized in pure
+    Catalyst via hex/unhex) -> typed-metadata parse (attach_media_meta
+    reads width/height/n_frames back out of the header bytes) -> JVM-only
+    image_stats -> frame sampling (every 2nd frame) through the
+    mapInPandas batch plumbing.  The oracle recomputes every output from
+    the synthesis rule, so a header encode/parse or slice-math bug is a
+    value mismatch."""
+    from .multimodal import attach_media_meta, image_stats, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 9).cast("int")
+    h = (F.lit(8) + F.col("doc_id") % 7).cast("int")
+    nf = (F.lit(1) + F.col("doc_id") % 4).cast("int")
+    pay = docs.select(
+        F.col("doc_id").alias("id"),
+        F.unhex(F.concat(
+            F.lpad(F.hex(w), 4, "0"), F.lpad(F.hex(h), 4, "0"),
+            F.lpad(F.hex(nf), 2, "0"), F.md5("text"))).alias("payload"))
+    media = attach_media_meta(pay, "payload", kind="image")
+    stats = image_stats(media)
+    frames = (sample_frames(media, every_k=2)
+              .groupBy("id").agg(F.count("*").alias("n_frames_sampled")))
+    return (stats.join(frames, "id")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("n_bytes").cast("long"),
+                    F.col("width").cast("int"), F.col("height").cast("int"),
+                    F.col("n_pixels").cast("int"),
+                    F.col("n_frames_sampled").cast("long")))
 
 
 # ---------------------------------------------------------------------------
