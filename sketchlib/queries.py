@@ -141,6 +141,36 @@ def bloom_blocked_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "fn_ok boolean, fp_ok boolean")
 
 
+@register("bloom_cacheline_fpp", "SELECT TRUE AS fn_ok, TRUE AS fp_ok")
+def bloom_cacheline_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-line-blocked mode (O16, external/bloom_filters.h:94-159 —
+    the reference's BlockedBloomFilter confines all k bits of a key to one
+    256-bit block): one cache-line transaction per key on real hardware,
+    FPP between register-blocked and standard (collisions are line-local,
+    not word-local).  Same gate shape as bloom_blocked_fpp: no false
+    negatives, measured FP within sampling slack of the expectation
+    derived from the built state's own per-block fill (a fresh key probes
+    a uniform block and k bits of it, so
+    E[FPP] = mean_b ( (popcount(block_b)/B)^k ))."""
+    cust = _t(spark, sf_dir, "customer")
+    n = table_row_count(sf_dir, "customer")  # footer metadata, no scan
+    res = build_sketch(cust, "c_custkey", bloom_spec(n, 0.01, block_bits=256))
+    fn_cnt = cust.where(
+        ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
+    n_probe = 100_000
+    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fp_cnt = fresh.where(
+        bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
+    st = res.state
+    fills = np.unpackbits(st.words.view(np.uint8)) \
+        .reshape(-1, st.block_bits).sum(axis=1) / float(st.block_bits)
+    expected = float(np.mean(fills ** st.k))
+    slack = 4 * math.sqrt(max(expected * (1 - expected), 1e-12) / n_probe)
+    fp_ok = fp_cnt / n_probe <= 1.5 * expected + slack
+    return spark.createDataFrame([(fn_cnt == 0, bool(fp_ok))],
+                                 "fn_ok boolean, fp_ok boolean")
+
+
 @register("bloom_sharded_resume", """
 SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_probes, TRUE AS fn_ok,
        TRUE AS resume_ok

@@ -15,9 +15,15 @@ numpy over Arrow batches:
 * contains = AND over k probed bits, vectorized — O6 (branchless like
   bloom.h:337-343).
 
-Also provides the register-blocked variant (O15, gloom.h:285-330 /
-external/bloom_filters.h:183-211): all k bits of a key confined to one
-64-bit word — one gather + one scatter per key, the cheap/fast mode.
+Also provides the BLOCKED variants via one unified ``block_bits`` knob:
+all k bits of a key confined to one aligned block of the bit array —
+block_bits=64 is the register-blocked mode (O15, gloom.h:285-330 /
+external/bloom_filters.h:183-211: one gather + one scatter per key) and
+block_bits=256/512 is the cache-line-blocked mode (O16,
+external/bloom_filters.h:94-159 uses 256-bit AVX2 blocks; 512 = a full
+64-byte x86 line): one memory transaction per key at DRAM-bound scale,
+with FPP between register-blocked and standard because collisions are
+line-local, not word-local.
 """
 
 from __future__ import annotations
@@ -47,7 +53,11 @@ class BloomState:
     k: int
     words: np.ndarray  # uint64[m_bits // 64]
     n_inserted: int
-    blocked: bool = False  # register-blocked mode (O15)
+    block_bits: int = 0  # 0 = standard; 64 = register- (O15), 512 = cache-line-blocked (O16)
+
+    @property
+    def blocked(self) -> bool:
+        return self.block_bits > 0
 
     @property
     def total_bits(self) -> int:
@@ -64,11 +74,21 @@ class Bloom:
     name = "bloom"
 
     def create(self, n: int, p: float = 0.01, *, blocked: bool = False,
+               block_bits: int | None = None,
                m_bits: int | None = None, k: int | None = None) -> BloomState:
+        if block_bits is None:
+            block_bits = 64 if blocked else 0
+        if block_bits not in (0, 64, 256, 512):
+            raise ValueError("block_bits must be 0 (standard), 64 (register) "
+                             "or 256/512 (cache-line block)")
         if m_bits is None or k is None:
             params = BloomParams.from_np(n, p)
             m_bits, k = params.m_bits, params.k
-        return BloomState(m_bits, k, np.zeros(m_bits // 64, np.uint64), 0, blocked)
+        if block_bits:  # whole blocks only
+            m_bits = max(m_bits, block_bits)
+            m_bits += (-m_bits) % block_bits
+        return BloomState(m_bits, k, np.zeros(m_bits // 64, np.uint64), 0,
+                          block_bits)
 
     # -- index math ---------------------------------------------------------
 
@@ -77,6 +97,39 @@ class Bloom:
         m = np.uint64(state.m_bits)
         i = np.arange(state.k, dtype=np.uint64)[None, :]
         return (h1.astype(np.uint64)[:, None] + i * h2.astype(np.uint64)[:, None]) % m
+
+    def _block_words(self, state: BloomState, c1: np.ndarray,
+                     c2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Blocked-mode addressing, any block size: all k bits of a key land
+        in ONE aligned block of ``block_bits`` bits.  Returns ([N, wpb] word
+        indices, [N, wpb] OR-combined masks) where wpb = words per block —
+        for block_bits=64 that is the single gather/scatter word of O15;
+        for 512 it is the 8 words of one cache line (O16), still one memory
+        transaction on real hardware."""
+        bb = np.uint64(state.block_bits)
+        wpb = state.block_bits // 64
+        nblocks = np.uint64(state.words.shape[0] // wpb)
+        block = c1.astype(np.uint64) % nblocks
+        i = np.arange(state.k, dtype=np.uint64)[None, :]
+        # h2 forced odd (gloom.h:110): an even stride mod a power-of-two
+        # block cycles over a subgroup of bit positions, revisiting bits
+        # and inflating FPP; odd strides visit k distinct bits
+        stride = (c2.astype(np.uint64) | np.uint64(1))[:, None]
+        bit = (c1.astype(np.uint64)[:, None] + i * stride) % bb  # [N, k]
+        onebit = np.uint64(1) << (bit & np.uint64(63))           # [N, k]
+        if wpb == 1:  # register-blocked: one word, one OR-reduce
+            return (block[:, None],
+                    np.bitwise_or.reduce(onebit, axis=1, keepdims=True))
+        # cache-line mode: route each of the k bits to its word of the line
+        word_in_block = bit >> np.uint64(6)                      # [N, k]
+        word = (block[:, None] * np.uint64(wpb)
+                + np.arange(wpb, dtype=np.uint64)[None, :])      # [N, wpb]
+        mask = np.stack([
+            np.bitwise_or.reduce(
+                np.where(word_in_block == np.uint64(j), onebit, np.uint64(0)),
+                axis=1)
+            for j in range(wpb)], axis=1)                        # [N, wpb]
+        return word, mask
 
     def update_hashes(self, state: BloomState, h1: np.ndarray, h2: np.ndarray) -> BloomState:
         """Insert from precomputed hash pairs (O5 — lets the caller reuse the
@@ -87,16 +140,8 @@ class Bloom:
         for s in range(0, h1.shape[0], _CHUNK):
             c1, c2 = h1[s:s + _CHUNK], h2[s:s + _CHUNK]
             if state.blocked:
-                nwords = np.uint64(state.words.shape[0])
-                block = (c1.astype(np.uint64) % nwords)
-                i = np.arange(state.k, dtype=np.uint64)[None, :]
-                # h2 forced odd (gloom.h:110): an even stride mod 64 cycles
-                # over a subgroup of bit positions, revisiting bits and
-                # inflating FPP; odd strides visit k distinct bits
-                stride = (c2.astype(np.uint64) | np.uint64(1))[:, None]
-                bit = (c1.astype(np.uint64)[:, None] + i * stride) % np.uint64(64)
-                mask = np.bitwise_or.reduce(np.uint64(1) << bit, axis=1)
-                np.bitwise_or.at(state.words, block, mask)
+                word, mask = self._block_words(state, c1, c2)
+                np.bitwise_or.at(state.words, word, mask)
             else:
                 idx = self._indices(state, c1, c2)
                 word = (idx >> np.uint64(6)).ravel()
@@ -116,13 +161,9 @@ class Bloom:
         for s in range(0, h1.shape[0], _CHUNK):
             c1, c2 = h1[s:s + _CHUNK], h2[s:s + _CHUNK]
             if state.blocked:
-                nwords = np.uint64(state.words.shape[0])
-                block = c1.astype(np.uint64) % nwords
-                i = np.arange(state.k, dtype=np.uint64)[None, :]
-                stride = (c2.astype(np.uint64) | np.uint64(1))[:, None]
-                bit = (c1.astype(np.uint64)[:, None] + i * stride) % np.uint64(64)
-                mask = np.bitwise_or.reduce(np.uint64(1) << bit, axis=1)
-                out[s:s + _CHUNK] = (state.words[block] & mask) == mask
+                word, mask = self._block_words(state, c1, c2)
+                out[s:s + _CHUNK] = np.all(
+                    (state.words[word] & mask) == mask, axis=1)
             else:
                 idx = self._indices(state, c1, c2)
                 word = idx >> np.uint64(6)
@@ -138,15 +179,15 @@ class Bloom:
     # -- algebra ------------------------------------------------------------
 
     def merge(self, a: BloomState, b: BloomState) -> BloomState:
-        if (a.m_bits, a.k, a.blocked) != (b.m_bits, b.k, b.blocked):
+        if (a.m_bits, a.k, a.block_bits) != (b.m_bits, b.k, b.block_bits):
             raise ValueError("cannot merge bloom filters with different geometry")
         return BloomState(a.m_bits, a.k, np.bitwise_or(a.words, b.words),
-                          a.n_inserted + b.n_inserted, a.blocked)
+                          a.n_inserted + b.n_inserted, a.block_bits)
 
     def clear(self, state: BloomState) -> BloomState:
         """O8 — sketches are values in this engine; 'clear' is a fresh state."""
         return BloomState(state.m_bits, state.k,
-                          np.zeros_like(state.words), 0, state.blocked)
+                          np.zeros_like(state.words), 0, state.block_bits)
 
     # -- stats (O13) --------------------------------------------------------
 
@@ -159,13 +200,15 @@ class Bloom:
             "fpp_bound": fpp_bound(state.m_bits, state.k, state.n_inserted),
             "bits_per_item": state.m_bits / max(1, state.n_inserted),
             "blocked": state.blocked,
+            "block_bits": state.block_bits,
         }
 
     # -- wire ---------------------------------------------------------------
 
     def serialize(self, state: BloomState) -> bytes:
         header = {"m": state.m_bits, "k": state.k,
-                  "n": state.n_inserted, "blocked": int(state.blocked)}
+                  "n": state.n_inserted, "blocked": int(state.blocked),
+                  "bb": state.block_bits}
         return pack_state(self.name, header, [state.words])
 
     def deserialize(self, data: bytes) -> BloomState:
@@ -174,7 +217,8 @@ class Bloom:
             raise ValueError(f"expected bloom blob, got {kind}")
         return BloomState(header["m"], header["k"],
                           bufs[0].astype(np.uint64, copy=False),
-                          header["n"], bool(header["blocked"]))
+                          header["n"],
+                          header.get("bb", 64 if header["blocked"] else 0))
 
 
 BLOOM = Bloom()
