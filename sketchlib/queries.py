@@ -599,6 +599,55 @@ def stream_windowed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("win", F.col("win").cast("timestamp"))
 
 
+@register("stream_stateful_users", """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok
+FROM events GROUP BY 1
+""")
+def stream_stateful_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same event-time-windowed distinct-users question answered with
+    state in SPARK'S STATE STORE (applyInPandasWithState) instead of a
+    driver-side state table — the shape that survives high-cardinality
+    group keys.  The memory sink collects the per-batch update changelog;
+    the latest row per window (max n) is that window's final sketch."""
+    import tempfile
+    import uuid
+
+    from .streaming import stateful_grouped_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    name = f"ssu_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.repartition(4).write.parquet(f"{tmp}/src")  # scrambled file order
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src")
+                  .withColumn("win", F.date_trunc("hour", F.col("ts"))))
+        out = stateful_grouped_sketch(stream, ["win"], "user_id",
+                                      hll_spec(p=12))
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(name)
+             .option("checkpointLocation", f"{tmp}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        w = Window.partitionBy("win").orderBy(F.desc("n"))
+        final = (spark.table(name)
+                 .withColumn("__r", F.row_number().over(w))
+                 .where(F.col("__r") == 1).select("win", "state").collect())
+        ests = {str(r["win"]): HLL.cardinality(HLL.deserialize(bytes(r["state"])))
+                for r in final}
+    exact = {str(r["win"]): r["c"] for r in
+             ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("win"))
+             .agg(F.countDistinct("user_id").alias("c")).collect()}
+    rows = []
+    for win, true in exact.items():
+        est = ests.get(win, 0.0)
+        tol = max(5 * 1.04 / math.sqrt(2**12) * true, 3)
+        rows.append((win, int(true), bool(abs(est - true) <= tol)))
+    return spark.createDataFrame(
+        rows, "win string, exact_users long, ok boolean") \
+        .withColumn("win", F.col("win").cast("timestamp"))
+
+
 # ---------------------------------------------------------------------------
 # dedup / near-dup
 # ---------------------------------------------------------------------------

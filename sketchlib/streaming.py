@@ -29,7 +29,58 @@ from pyspark.sql import DataFrame
 
 from .agg import SketchSpec, build_partials
 
-__all__ = ["StreamingSketch", "StreamingGroupedSketch"]
+__all__ = ["StreamingSketch", "StreamingGroupedSketch",
+           "stateful_grouped_sketch"]
+
+
+def stateful_grouped_sketch(stream_df: DataFrame, group_cols: list[str],
+                            value_col: str, spec: SketchSpec,
+                            output_mode: str = "update") -> DataFrame:
+    """Per-group sketch over a stream with state in SPARK'S STATE STORE
+    (applyInPandasWithState) — the scale path for high-cardinality group
+    keys, where StreamingGroupedSketch's driver-side state table would not
+    fit: each group's serialized sketch lives in the executor-side,
+    checkpointed state store; replay/exactly-once is Spark's contract, not
+    ours.  Emits one (group..., state, n) row per updated group per
+    micro-batch; downstream either keeps the latest row per group or
+    treats rows as a changelog.
+
+    Late/out-of-order rows are a non-event: update folds them into the
+    group's running state whenever they arrive (the monoid property —
+    no watermark needed for correctness; add one to bound retention)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .agg import _series_values
+
+    ops = spec.ops
+    gcols = list(group_cols)
+    fields = [f"`{f_.name}` {f_.dataType.simpleString()}"
+              for f_ in stream_df.select(*gcols).schema.fields]
+    out_schema = ", ".join(fields + ["state binary", "n bigint"])
+    state_schema = "state binary, n bigint"
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            blob, n = state.get
+            st = ops.deserialize(bytes(blob))
+        else:
+            st, n = spec.create(), 0
+        for pdf in pdfs:
+            vals = _series_values(pdf[value_col])
+            st = ops.update(st, vals)
+            n += len(vals)
+        state.update((ops.serialize(st), n))
+        row = {c: [key[i]] for i, c in enumerate(gcols)}
+        row["state"] = [ops.serialize(st)]
+        row["n"] = [n]
+        yield pd.DataFrame(row)
+
+    return (stream_df.select(*gcols, value_col)
+            .groupBy(*gcols)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))
 
 
 class StreamingSketch:

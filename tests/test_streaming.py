@@ -117,3 +117,57 @@ def test_replayed_batch_skipped(spark, sf_smoke, tmp_path):
     assert ss.n_rows == n_after_first
     ss.process_batch(ev, 1)  # genuinely new batch
     assert ss.n_rows == 2 * n_after_first
+
+
+class TestStatefulGroupedSketch:
+    """applyInPandasWithState path: per-group sketch state lives in Spark's
+    checkpointed state store (executor-side), not on the driver."""
+
+    def test_windowed_counts_and_incremental_resume(self, spark, sf_smoke,
+                                                    tmp_path):
+        from pyspark.sql import Window, functions as F
+
+        from sketchlib.agg import hll_spec
+        from sketchlib.sketch import HLL
+        from sketchlib.streaming import stateful_grouped_sketch
+
+        ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+        src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+        sink = str(tmp_path / "changelog")
+
+        def run_once():
+            stream = (spark.readStream.schema(ev.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src)
+                      .withColumn("win", F.date_trunc("day", F.col("ts"))))
+            # append mode + file sink: the recoverable combination — the
+            # emitted rows form a changelog, latest row per group wins
+            out = stateful_grouped_sketch(stream, ["win"], "user_id",
+                                          hll_spec(p=12),
+                                          output_mode="append")
+            q = (out.writeStream.outputMode("append").format("parquet")
+                 .option("path", sink).option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+
+        # first half of the data, scrambled order
+        half = ev.where(F.col("event_id") % 2 == 0)
+        half.repartition(3).write.mode("overwrite").parquet(src)
+        run_once()
+        # second half appended -> the SAME state store continues counting
+        ev.where(F.col("event_id") % 2 == 1) \
+            .repartition(3).write.mode("append").parquet(src)
+        run_once()
+
+        w = Window.partitionBy("win").orderBy(F.desc("n"))
+        final = (spark.read.parquet(sink)
+                 .withColumn("r", F.row_number().over(w))
+                 .where("r = 1").collect())
+        ests = {str(r["win"]): HLL.cardinality(
+            HLL.deserialize(bytes(r["state"]))) for r in final}
+        exact = {str(r["win"]): r["c"] for r in
+                 ev.groupBy(F.date_trunc("day", F.col("ts")).alias("win"))
+                 .agg(F.countDistinct("user_id").alias("c")).collect()}
+        assert set(ests) == set(exact)
+        for win, true in exact.items():
+            tol = max(5 * 1.04 / (2 ** 6) * true, 3)  # p=12 -> 1.04/64
+            assert abs(ests[win] - true) <= tol, win
