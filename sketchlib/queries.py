@@ -617,24 +617,33 @@ def stream_stateful_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     name = f"ssu_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as tmp:
-        ev.repartition(4).write.parquet(f"{tmp}/src")  # scrambled file order
-        stream = (spark.readStream.schema(ev.schema)
-                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src")
-                  .withColumn("win", F.date_trunc("hour", F.col("ts"))))
-        out = stateful_grouped_sketch(stream, ["win"], "user_id",
-                                      hll_spec(p=12))
-        q = (out.writeStream.outputMode("update").format("memory")
-             .queryName(name)
-             .option("checkpointLocation", f"{tmp}/ck")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-        w = Window.partitionBy("win").orderBy(F.desc("n"))
-        final = (spark.table(name)
-                 .withColumn("__r", F.row_number().over(w))
-                 .where(F.col("__r") == 1).select("win", "state").collect())
-        ests = {str(r["win"]): HLL.cardinality(HLL.deserialize(bytes(r["state"])))
-                for r in final}
+    # the state store inherits shuffle.partitions at checkpoint creation;
+    # a 200-partition default costs 800 near-empty state tasks for this
+    # 720-group stream — pin a sane count for the query, then restore
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            ev.repartition(4).write.parquet(f"{tmp}/src")  # scrambled order
+            stream = (spark.readStream.schema(ev.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src")
+                      .withColumn("win", F.date_trunc("hour", F.col("ts"))))
+            out = stateful_grouped_sketch(stream, ["win"], "user_id",
+                                          hll_spec(p=12))
+            q = (out.writeStream.outputMode("update").format("memory")
+                 .queryName(name)
+                 .option("checkpointLocation", f"{tmp}/ck")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            w = Window.partitionBy("win").orderBy(F.desc("n"))
+            final = (spark.table(name)
+                     .withColumn("__r", F.row_number().over(w))
+                     .where(F.col("__r") == 1).select("win", "state").collect())
+            ests = {str(r["win"]):
+                    HLL.cardinality(HLL.deserialize(bytes(r["state"])))
+                    for r in final}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     exact = {str(r["win"]): r["c"] for r in
              ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("win"))
              .agg(F.countDistinct("user_id").alias("c")).collect()}
