@@ -31,6 +31,7 @@ HEADLINE = [
     "bloom_semijoin",
     "bloom_fpp_fn",
     "bloom_blocked_fpp",
+    "bloom_pattern_fpp",
     "hll_partkey",
     "hll_users_by_type",
     "hll_user_overlap",

@@ -88,16 +88,20 @@ class SketchSpec:
 
 
 def bloom_spec(expected_n: int, p: float = 0.01, *, blocked: bool = False,
-               block_bits: int | None = None) -> SketchSpec:
+               block_bits: int | None = None,
+               pattern: bool = False) -> SketchSpec:
     """Resolve geometry up front so every partition builds merge-compatible
     states (same m, k regardless of the rows it happens to see).
     ``block_bits``: 0/None standard, 64 register-blocked (O15), 512
-    cache-line-blocked (O16); ``blocked=True`` is shorthand for 64."""
+    cache-line-blocked (O16); ``blocked=True`` is shorthand for 64;
+    ``pattern=True`` is the precomputed-mask patterned mode (O18)."""
     params = BloomParams.from_np(expected_n, p)
     cfg = {"n": expected_n, "p": p, "blocked": blocked,
            "m_bits": params.m_bits, "k": params.k}
     if block_bits is not None:
         cfg["block_bits"] = block_bits
+    if pattern:
+        cfg["pattern"] = True
     return SketchSpec("bloom", cfg)
 
 

@@ -171,6 +171,34 @@ def bloom_cacheline_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "fn_ok boolean, fp_ok boolean")
 
 
+@register("bloom_pattern_fpp", "SELECT TRUE AS fn_ok, TRUE AS fp_ok")
+def bloom_pattern_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patterned mode (O18, external/bloom_filters.h:354-536): each key ORs
+    one of 2^10 precomputed k-bit masks, rotated, into one 64-bit block —
+    the reference replaces per-key mask construction with one table load +
+    rotate.  Gate: no false negatives, and measured FP within sampling
+    slack of the expectation derived from the built state itself — a fresh
+    key probes a uniform word with an (approximately) uniform k-subset, so
+    E[FPP] = mean_w ( C(popcount(w), k) / C(64, k) )."""
+    cust = _t(spark, sf_dir, "customer")
+    n = table_row_count(sf_dir, "customer")  # footer metadata, no scan
+    res = build_sketch(cust, "c_custkey", bloom_spec(n, 0.01, pattern=True))
+    fn_cnt = cust.where(
+        ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
+    n_probe = 100_000
+    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fp_cnt = fresh.where(
+        bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
+    st = res.state
+    pc = np.unpackbits(st.words.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+    comb = np.array([math.comb(c, st.k) for c in range(65)], dtype=float)
+    expected = float(np.mean(comb[pc])) / math.comb(64, st.k)
+    slack = 4 * math.sqrt(max(expected * (1 - expected), 1e-12) / n_probe)
+    fp_ok = fp_cnt / n_probe <= 1.5 * expected + slack
+    return spark.createDataFrame([(fn_cnt == 0, bool(fp_ok))],
+                                 "fn_ok boolean, fp_ok boolean")
+
+
 @register("bloom_sharded_resume", """
 SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_probes, TRUE AS fn_ok,
        TRUE AS resume_ok

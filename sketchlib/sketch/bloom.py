@@ -24,6 +24,18 @@ external/bloom_filters.h:94-159 uses 256-bit AVX2 blocks; 512 = a full
 64-byte x86 line): one memory transaction per key at DRAM-bound scale,
 with FPP between register-blocked and standard because collisions are
 line-local, not word-local.
+
+``pattern=True`` is the patterned mode (O18,
+external/bloom_filters.h:354-536 PatternedSimdBloomFilter): instead of
+deriving k bits per key by double hashing, the key selects one of 2^10
+PRECOMPUTED k-bit masks and a rotation — the reference does one table
+load + one rotate + one OR per key, replacing the k-iteration mask
+construction entirely.  Our numpy lane reproduces the semantics (mask
+table lookup, 64-bit rotation, single-word OR) with a deterministic
+seeded table regenerated from geometry, so states are merge-compatible
+without shipping the table.  FPP is slightly above register-blocked
+(masks are drawn from 2^10 x 64 variants, not 64-choose-k), which the
+gate accounts for by deriving the expectation from the built state.
 """
 
 from __future__ import annotations
@@ -46,6 +58,28 @@ __all__ = ["BloomState", "Bloom", "BLOOM"]
 # executor-core memory bandwidth is the wall, not ALU.
 _CHUNK = 4096
 
+# Patterned mode (O18): 2^10 masks like the reference's MaskTable
+# (external/bloom_filters.h:361 log_num_masks=10).  The table is a pure
+# function of (k, seed), so executors regenerate it instead of carrying
+# it in the state blob.
+_PATTERN_LOG_MASKS = 10
+_PATTERN_SEED = 0x18C0FFEE
+_pattern_tables: dict[int, np.ndarray] = {}
+
+
+def _pattern_table(k: int) -> np.ndarray:
+    """uint64[2^10] masks, each with exactly k set bits, deterministic."""
+    table = _pattern_tables.get(k)
+    if table is None:
+        rng = np.random.default_rng(_PATTERN_SEED + k)
+        n_masks = 1 << _PATTERN_LOG_MASKS
+        # per-mask k distinct bit positions via argpartition of random keys
+        order = np.argsort(rng.random((n_masks, 64)), axis=1)[:, :k]
+        table = np.bitwise_or.reduce(
+            np.uint64(1) << order.astype(np.uint64), axis=1)
+        _pattern_tables[k] = table
+    return table
+
 
 @dataclass
 class BloomState:
@@ -54,6 +88,7 @@ class BloomState:
     words: np.ndarray  # uint64[m_bits // 64]
     n_inserted: int
     block_bits: int = 0  # 0 = standard; 64 = register- (O15), 512 = cache-line-blocked (O16)
+    pattern: bool = False  # O18: precomputed-mask mode (implies block_bits=64)
 
     @property
     def blocked(self) -> bool:
@@ -74,8 +109,10 @@ class Bloom:
     name = "bloom"
 
     def create(self, n: int, p: float = 0.01, *, blocked: bool = False,
-               block_bits: int | None = None,
+               block_bits: int | None = None, pattern: bool = False,
                m_bits: int | None = None, k: int | None = None) -> BloomState:
+        if pattern:
+            block_bits = 64  # masks are 64-bit words, one OR per key
         if block_bits is None:
             block_bits = 64 if blocked else 0
         if block_bits not in (0, 64, 256, 512):
@@ -84,11 +121,14 @@ class Bloom:
         if m_bits is None or k is None:
             params = BloomParams.from_np(n, p)
             m_bits, k = params.m_bits, params.k
+        if pattern:
+            k = min(k, 57)  # reference mask windows carry <=57-bit patterns
+            _pattern_table(k)  # build eagerly so create-time cost is visible
         if block_bits:  # whole blocks only
             m_bits = max(m_bits, block_bits)
             m_bits += (-m_bits) % block_bits
         return BloomState(m_bits, k, np.zeros(m_bits // 64, np.uint64), 0,
-                          block_bits)
+                          block_bits, pattern)
 
     # -- index math ---------------------------------------------------------
 
@@ -131,6 +171,21 @@ class Bloom:
             for j in range(wpb)], axis=1)                        # [N, wpb]
         return word, mask
 
+    def _pattern_words(self, state: BloomState, c1: np.ndarray,
+                       c2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Patterned-mode addressing (O18): h1 picks the block, h2 picks a
+        precomputed k-bit mask and a rotation.  One table gather + one
+        64-bit rotate per key — the reference's one-load-one-rotate-one-OR
+        structure (external/bloom_filters.h:416-536), whole-column."""
+        nblocks = np.uint64(state.words.shape[0])
+        block = c1.astype(np.uint64) % nblocks
+        table = _pattern_table(state.k)
+        mask_idx = c2.astype(np.uint64) & np.uint64((1 << _PATTERN_LOG_MASKS) - 1)
+        rot = (c2.astype(np.uint64) >> np.uint64(_PATTERN_LOG_MASKS)) & np.uint64(63)
+        base = table[mask_idx]
+        mask = (base << rot) | (base >> (np.uint64(64) - rot) % np.uint64(64))
+        return block[:, None], mask[:, None]
+
     def update_hashes(self, state: BloomState, h1: np.ndarray, h2: np.ndarray) -> BloomState:
         """Insert from precomputed hash pairs (O5 — lets the caller reuse the
         hash columns it computed for routing, simple_benchmark.cpp:246-251
@@ -139,7 +194,10 @@ class Bloom:
             return state
         for s in range(0, h1.shape[0], _CHUNK):
             c1, c2 = h1[s:s + _CHUNK], h2[s:s + _CHUNK]
-            if state.blocked:
+            if state.pattern:
+                word, mask = self._pattern_words(state, c1, c2)
+                np.bitwise_or.at(state.words, word, mask)
+            elif state.blocked:
                 word, mask = self._block_words(state, c1, c2)
                 np.bitwise_or.at(state.words, word, mask)
             else:
@@ -160,7 +218,11 @@ class Bloom:
         out = np.empty(h1.shape[0], bool)
         for s in range(0, h1.shape[0], _CHUNK):
             c1, c2 = h1[s:s + _CHUNK], h2[s:s + _CHUNK]
-            if state.blocked:
+            if state.pattern:
+                word, mask = self._pattern_words(state, c1, c2)
+                out[s:s + _CHUNK] = np.all(
+                    (state.words[word] & mask) == mask, axis=1)
+            elif state.blocked:
                 word, mask = self._block_words(state, c1, c2)
                 out[s:s + _CHUNK] = np.all(
                     (state.words[word] & mask) == mask, axis=1)
@@ -179,15 +241,17 @@ class Bloom:
     # -- algebra ------------------------------------------------------------
 
     def merge(self, a: BloomState, b: BloomState) -> BloomState:
-        if (a.m_bits, a.k, a.block_bits) != (b.m_bits, b.k, b.block_bits):
+        if (a.m_bits, a.k, a.block_bits, a.pattern) != \
+                (b.m_bits, b.k, b.block_bits, b.pattern):
             raise ValueError("cannot merge bloom filters with different geometry")
         return BloomState(a.m_bits, a.k, np.bitwise_or(a.words, b.words),
-                          a.n_inserted + b.n_inserted, a.block_bits)
+                          a.n_inserted + b.n_inserted, a.block_bits, a.pattern)
 
     def clear(self, state: BloomState) -> BloomState:
         """O8 — sketches are values in this engine; 'clear' is a fresh state."""
         return BloomState(state.m_bits, state.k,
-                          np.zeros_like(state.words), 0, state.block_bits)
+                          np.zeros_like(state.words), 0, state.block_bits,
+                          state.pattern)
 
     # -- stats (O13) --------------------------------------------------------
 
@@ -201,6 +265,7 @@ class Bloom:
             "bits_per_item": state.m_bits / max(1, state.n_inserted),
             "blocked": state.blocked,
             "block_bits": state.block_bits,
+            "pattern": state.pattern,
         }
 
     # -- wire ---------------------------------------------------------------
@@ -208,7 +273,7 @@ class Bloom:
     def serialize(self, state: BloomState) -> bytes:
         header = {"m": state.m_bits, "k": state.k,
                   "n": state.n_inserted, "blocked": int(state.blocked),
-                  "bb": state.block_bits}
+                  "bb": state.block_bits, "pat": int(state.pattern)}
         return pack_state(self.name, header, [state.words])
 
     def deserialize(self, data: bytes) -> BloomState:
@@ -218,7 +283,8 @@ class Bloom:
         return BloomState(header["m"], header["k"],
                           bufs[0].astype(np.uint64, copy=False),
                           header["n"],
-                          header.get("bb", 64 if header["blocked"] else 0))
+                          header.get("bb", 64 if header["blocked"] else 0),
+                          bool(header.get("pat", 0)))
 
 
 BLOOM = Bloom()

@@ -174,3 +174,48 @@ class TestCacheLineBlockedMode:
         assert len(set_words) >= 1
         assert set_words.max() // 8 == set_words.min() // 8  # same line
         assert st.m_bits % 512 == 0
+
+
+class TestPatternedMode:
+    """Patterned mode (O18, external/bloom_filters.h:354-536): key selects a
+    precomputed k-bit mask + rotation, ORed into one 64-bit block.  Same
+    no-false-negative guarantee; FPP at or above register-blocked (masks
+    come from 2^10 x 64 variants, not all 64-choose-k subsets)."""
+
+    def test_no_fn_and_fpp_sane(self):
+        n = 20_000
+        keys = _random_keys(2 * n, seed=19)
+        inserted, fresh = keys[:n], keys[n:]
+        st = BLOOM.create(n, 0.01, pattern=True)
+        BLOOM.update(st, inserted)
+        assert bool(np.all(BLOOM.contains(st, inserted)))
+        fp = float(np.mean(BLOOM.contains(st, fresh)))
+        # register-blocked comparison point on identical data
+        rb = BLOOM.create(n, 0.01, blocked=True)
+        BLOOM.update(rb, inserted)
+        fp_rb = float(np.mean(BLOOM.contains(rb, fresh)))
+        assert fp < 3 * max(fp_rb, 0.02)  # same regime, bounded degradation
+
+    def test_mask_table_deterministic_and_k_bits(self):
+        from sketchlib.sketch.bloom import _pattern_table
+        t1 = _pattern_table(7)
+        t2 = _pattern_table(7)
+        assert t1 is t2 or bool(np.array_equal(t1, t2))
+        assert t1.shape == (1024,)
+        pc = np.unpackbits(t1.view(np.uint8)).reshape(1024, -1).sum(axis=1)
+        assert bool(np.all(pc == 7))
+
+    def test_single_word_confinement(self):
+        one = BLOOM.update(BLOOM.create(4_000, 0.01, pattern=True), [b"key"])
+        assert np.count_nonzero(one.words) == 1  # one OR, one word (the point)
+
+    def test_merge_split_equals_whole_and_roundtrip(self):
+        keys = _random_keys(4_000, seed=23)
+        whole = BLOOM.update(BLOOM.create(4_000, 0.01, pattern=True), keys)
+        a = BLOOM.update(BLOOM.create(4_000, 0.01, pattern=True), keys[:2_000])
+        b = BLOOM.update(BLOOM.create(4_000, 0.01, pattern=True), keys[2_000:])
+        merged = BLOOM.deserialize(BLOOM.serialize(BLOOM.merge(a, b)))
+        assert merged.pattern and merged.block_bits == 64
+        assert bool(np.array_equal(merged.words, whole.words))
+        with pytest.raises(ValueError, match="geometry"):
+            BLOOM.merge(a, BLOOM.create(4_000, 0.01, blocked=True))
