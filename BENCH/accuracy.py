@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from sketchlib.params import fpp_bound  # noqa: E402
-from sketchlib.sketch import BLOOM, CMS, HLL, KLL, TDIGEST  # noqa: E402
+from sketchlib.sketch import BLOOM, CMS, HLL, KLL, KMV, MG, TDIGEST  # noqa: E402
 
 
 def bloom_sweep():
@@ -97,6 +97,39 @@ def quantile_sweep():
     return "\n".join(md)
 
 
+def mg_sweep():
+    rng = np.random.default_rng(13)
+    stream = (rng.zipf(1.3, 1_000_000) % 50_000).astype(np.int64)
+    import collections
+
+    true = collections.Counter(stream.tolist())
+    n = len(stream)
+    md = ["| cap | decr_total (exact err) | published bound n/(cap+1) | "
+          "heavy keys (f>bound) missed |", "|---|---|---|---|"]
+    for cap in (64, 256, 1024):
+        st = MG.create(cap)
+        for s in range(0, n, 65_536):
+            MG.update(st, stream[s:s + 65_536])
+        stored = set(st.keys)
+        missed = sum(1 for k, f in true.items()
+                     if f > st.decr_total and k not in stored)
+        md.append(f"| {cap} | {st.decr_total:,} | {n / (cap + 1):,.0f} "
+                  f"| {missed} |")
+    return "\n".join(md)
+
+
+def kmv_sweep():
+    md = ["| k | true distinct | estimate | rel err | bound 1/√(k-2) |",
+          "|---|---|---|---|---|"]
+    for k in (256, 1024, 4096):
+        for n in (10_000, 1_000_000):
+            st = KMV.update(KMV.create(k), np.arange(n, dtype=np.int64))
+            est = KMV.distinct_count(st)
+            md.append(f"| {k} | {n:,} | {est:,.0f} | {abs(est - n) / n:.4f} "
+                      f"| {1 / (k - 2) ** 0.5:.4f} |")
+    return "\n".join(md)
+
+
 def main() -> None:
     out = f"""# ACCURACY — measured error vs published bounds (seeded, numpy-only)
 
@@ -115,6 +148,14 @@ def main() -> None:
 ## Quantiles (1M lognormal samples)
 
 {quantile_sweep()}
+
+## Misra-Gries (1M-item Zipf stream, 50k key space)
+
+{mg_sweep()}
+
+## KMV distinct-count
+
+{kmv_sweep()}
 """
     with open(os.path.join(REPO, "BENCH", "ACCURACY.md"), "w") as f:
         f.write(out)

@@ -28,8 +28,8 @@ def _prep(spark: SparkSession) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: build all five sketches over sf0.001 and return one row per
-    sketch with its key estimate and a bound-check flag."""
+    """Flagship: build all seven sketch kinds over sf0.001 and return one
+    row per sketch with its key estimate and a bound-check flag."""
     import math
 
     from pyspark.sql import functions as F
@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
     _prep(spark)
     from sketchlib.agg import (bloom_contains_col, bloom_spec, build_sketch,
                                build_sketches, cms_spec, hll_spec, kll_spec,
-                               tdigest_spec)
-    from sketchlib.sketch import HLL, KLL, TDIGEST
+                               kmv_spec, mg_spec, tdigest_spec)
+    from sketchlib.sketch import HLL, KLL, KMV, TDIGEST
     from sketchlib.textops import tokens_col
 
     sf = SMOKE_DIR
@@ -46,14 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     rows = []
 
-    # bloom + hll + kll + tdigest share ONE scan of lineitem
+    # bloom + hll + kll + tdigest + kmv share ONE scan of lineitem
     keys = li.select("l_orderkey").distinct().cache()
     n = keys.count()
-    b, h, k, t = build_sketches(li, [
+    b, h, k, t, v = build_sketches(li, [
         ("l_orderkey", bloom_spec(n, 0.01)),
         ("l_partkey", hll_spec(p=13)),
         ("l_extendedprice", kll_spec(k=200)),
         ("l_extendedprice", tdigest_spec(delta=200)),
+        ("l_partkey", kmv_spec(k=512)),
     ])
 
     # bloom: membership over orderkeys, no false negatives
@@ -68,10 +69,22 @@ def entry(spark: SparkSession) -> DataFrame:
     rows.append(("hll", float(est),
                  bool(abs(est - exact) <= max(5 * 1.04 / math.sqrt(2**13) * exact, 3))))
 
+    # kmv: second, independent distinct estimator over the same column
+    est_v = KMV.distinct_count(v.state)
+    rows.append(("kmv", float(est_v),
+                 bool(abs(est_v - exact) <= 5 * KMV.rel_error(v.state) * exact)))
+
     # cms: token frequencies never undercount
     toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    n_toks = toks.count()
     c = build_sketch(toks, "token", cms_spec(d=5, w=4096))
-    rows.append(("cms", float(c.n_rows), bool(c.n_rows == toks.count())))
+    rows.append(("cms", float(c.n_rows), bool(c.n_rows == n_toks)))
+
+    # mg: exact-error bound holds and total mass is exact
+    m = build_sketch(toks, "token", mg_spec(cap=256))
+    rows.append(("mg", float(len(m.state.keys)),
+                 bool(m.state.n_total == n_toks
+                      and m.state.decr_total <= m.state.n_total / 257)))
 
     # kll + tdigest: median rank error
     total = li.count()

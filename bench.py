@@ -37,11 +37,14 @@ HEADLINE = [
     "hll_user_overlap",
     "stream_hll_users",
     "cms_heavy_tokens",
+    "mg_heavy_tokens",
     "cms_heavy_suppliers_by_qty",
     "kll_price_quantiles",
     "tdigest_value_quantiles",
     "dedup_exact",
     "neardup_pairs",
+    "jaccard_exact_pairs",
+    "kmv_sample_urls",
     "simhash_pairs",
     "ann_topk",
     "embedding_neardup",

@@ -117,6 +117,14 @@ def kll_spec(k: int = 200) -> SketchSpec:
     return SketchSpec("kll", {"k": k})
 
 
+def mg_spec(cap: int = 256) -> SketchSpec:
+    return SketchSpec("mg", {"cap": cap})
+
+
+def kmv_spec(k: int = 256) -> SketchSpec:
+    return SketchSpec("kmv", {"k": k})
+
+
 def tdigest_spec(delta: float = 200.0) -> SketchSpec:
     return SketchSpec("tdigest", {"delta": delta})
 
@@ -341,6 +349,35 @@ def build_cms_weighted(df: DataFrame, key_col: str, weight_col: str,
         n_rows = sum(int(r["n"]) for r in rows)
     return BuildResult(spec, ops.serialize(state), n_rows, num_partials,
                        time.perf_counter() - t0)
+
+
+def kmv_bottomk(df: DataFrame, key_col: str, prio_col: str, k: int):
+    """Deterministic distributed bottom-k sample with a caller-supplied
+    priority column (any fixed hash of the key — e.g. an md5-derived
+    integer that an external SQL engine can re-derive, making the sample
+    itself value-checkable).  Per-partition KMV partials, then merge; a
+    partial is at most k (priority, key) entries, so even at thousands of
+    partitions the merge input is k*P tiny rows, not data-scale.  Returns
+    the final KmvState."""
+    from .sketch import KMV
+
+    sel = df.select(F.col(key_col).alias("__k"),
+                    F.col(prio_col).cast("long").alias("__p"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = KMV.create(k)
+        for pdf in batches:
+            pdf = pdf[pdf["__k"].notna() & pdf["__p"].notna()]
+            if len(pdf):
+                prios = pdf["__p"].to_numpy(np.int64).astype(np.uint64)
+                KMV.update_with_prios(state, prios, pdf["__k"].tolist())
+        yield pd.DataFrame({"state": [KMV.serialize(state)]})
+
+    rows = sel.mapInPandas(build, "state binary").collect()
+    state = KMV.create(k)
+    for r in rows:
+        state = KMV.merge(state, KMV.deserialize(bytes(r["state"])))
+    return state
 
 
 # ---------------------------------------------------------------------------

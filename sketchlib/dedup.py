@@ -233,3 +233,48 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
     return pairs
+
+
+def exact_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        shingle_n: int = 3,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """(a, b, jacc_pct) — ALL pairs with exact n-gram-shingle Jaccard >=
+    threshold, via a distributed inverted-index self-join: explode distinct
+    shingles, equi-join on the shingle, count shared shingles per pair,
+    then |A∩B| / (|A|+|B|-|A∩B|).  Pairs sharing zero shingles are never
+    materialized, so cost is sum_s df(s)^2 over shingle doc-frequencies,
+    not N^2 — the exact-recall complement to the LSH path in
+    verified_near_dup_pairs.
+
+    At web scale the df(s)^2 term is dominated by a few boilerplate
+    shingles; ``max_shingle_df`` drops shingles appearing in more than
+    that many docs before the join (standard boilerplate suppression —
+    makes the result approximate for pairs whose ONLY overlap is
+    boilerplate, so leave it None when exactness is gated)."""
+    shset = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(tokens_col(text_col), shingle_n))
+        .alias("sh"))
+    sizes = shset.select("id", F.size("sh").alias("n"))
+    e = shset.select("id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        dfreq = e.groupBy("s").agg(F.count("*").alias("df"))
+        e = (e.join(dfreq.where(F.col("df") <= max_shingle_df)
+                    .select("s"), "s"))
+    inter = (e.select(F.col("id").alias("a"), "s")
+             .join(e.select(F.col("id").alias("b"), "s"), "s")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("i")))
+    # sizes is one row per DOC (data-scale) — no broadcast hint; these are
+    # key-partitioned shuffle joins, and AQE may still broadcast at small SF
+    return (inter
+            .join(sizes.select(F.col("id").alias("a"),
+                               F.col("n").alias("na")), "a")
+            .join(sizes.select(F.col("id").alias("b"),
+                               F.col("n").alias("nb")), "b")
+            .withColumn("jacc",
+                        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+            .where(F.col("jacc") >= threshold)
+            .select("a", "b",
+                    F.round(F.col("jacc") * 100).cast("int").alias("jacc_pct")))

@@ -32,15 +32,19 @@ from .agg import (
     cms_spec,
     hll_spec,
     kll_spec,
+    kmv_bottomk,
+    kmv_spec,
+    mg_spec,
     sketch_grouped,
     tdigest_spec,
 )
-from .dedup import exact_dedup_groups, simhash_near_dup_pairs, verified_near_dup_pairs
+from .dedup import (exact_dedup_groups, exact_jaccard_pairs,
+                    simhash_near_dup_pairs, verified_near_dup_pairs)
 from .extract import extracted_text_col
 from .params import BloomParams, fpp_bound
 from .similarity import (cosine_pairs, cosine_pairs_lsh, cosine_topk,
                          ivf_topk, train_centroids)
-from .sketch import HLL, KLL, TDIGEST
+from .sketch import HLL, KLL, KMV, MG, TDIGEST
 from .stats import table_row_count
 from .textops import (
     STOPWORDS,
@@ -327,6 +331,33 @@ def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("est") >= thresh))
     exact = toks.groupBy("token").agg(F.count("*").alias("freq"))
     return (cand.join(exact, "token")
+            .where(F.col("freq") >= thresh)
+            .select("token", F.col("freq").cast("long")))
+
+
+@register("mg_heavy_tokens", f"""
+WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '[[:space:]]+')) AS token FROM documents),
+tot AS (SELECT COUNT(*)::DOUBLE AS total FROM toks)
+SELECT token, COUNT(*)::BIGINT AS freq FROM toks
+GROUP BY token
+HAVING COUNT(*) >= CEIL({_HH_PHI} * (SELECT total FROM tot))
+""")
+def mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitters via a Misra-Gries summary (Agarwal et al. 2012
+    mergeable form).  Unlike the CMS gate, NO candidate-generation pass
+    over distinct tokens is needed: the summary itself carries every
+    possible heavy hitter (any key with true count > decr_total is
+    guaranteed stored), so the exact verification aggregates ONLY rows
+    matching the <=cap candidates — at 10^12 tokens that is a pushed-down
+    IN-filter plus a tiny groupBy instead of a full-corpus distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    res = build_sketch(toks, "token", mg_spec(cap=512))
+    st = res.state
+    thresh = math.ceil(_HH_PHI * st.n_total)  # n_total is exact — no count()
+    cands = MG.heavy_candidates(st, thresh)
+    return (toks.where(F.col("token").isin(cands))
+            .groupBy("token").agg(F.count("*").alias("freq"))
             .where(F.col("freq") >= thresh)
             .select("token", F.col("freq").cast("long")))
 
@@ -733,6 +764,81 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    bands=32, rows=2, shingle_n=3)
 
 
+@register("jaccard_exact_pairs", """
+WITH l AS (SELECT doc_id, regexp_split_to_array(trim(text), '[[:space:]]+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - 1)])
+         ELSE [array_to_string(toks, ' ')] END AS shset
+  FROM l
+),
+e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shset) AS n FROM sh)
+SELECT inter.a, inter.b,
+       CAST(ROUND(100.0 * i / (sa.n + sb.n - i)) AS INT) AS jacc_pct
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.35
+""")
+def jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs WITHOUT an LSH prefilter: inverted-index
+    self-join on shingles (cost sum_s df(s)^2, never N^2 all-pairs).  The
+    guaranteed-recall-1 baseline the LSH paths are measured against; gated
+    at a lower threshold (0.35) than neardup_pairs so it also covers pairs
+    below the LSH band profile's reach."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, threshold=0.35, shingle_n=3)
+
+
+@register("kmv_sample_urls", f"""
+WITH {WEBPAGES_SQL}
+SELECT url, ('0x' || substring(md5(url), 1, 15))::BIGINT AS prio
+FROM webpages ORDER BY prio, url LIMIT 64
+""")
+def kmv_sample_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed uniform sample (KMV bottom-k): priority =
+    md5-derived integer, so the ORACLE RE-DERIVES THE EXACT SAMPLE with
+    ORDER BY prio LIMIT k — the sample contents themselves are
+    value-checked, not just a property of them.  Partition-layout- and
+    retry-independent by construction (priority is a pure function of the
+    url), which is what makes coordinated sampling possible across tables
+    and across days of a crawl."""
+    wp = webpages(spark, sf_dir)
+    prio = F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
+    st = kmv_bottomk(wp.withColumn("prio", prio), "url", "prio", 64)
+    rows = list(zip(KMV.sample(st),
+                    st.prios.astype(np.int64).tolist()))
+    return spark.createDataFrame(rows, "url string, prio long")
+
+
+@register("kmv_distinct_parts", """
+SELECT COUNT(DISTINCT l_partkey)::BIGINT AS exact_parts, TRUE AS ok
+FROM lineitem
+""")
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV as a distinct-count estimator ((k-1)/kth-min-priority,
+    Bar-Yossef et al.): estimate within 5x the published ~1/sqrt(k-2)
+    relative error of the exact count.  Cross-checks HLL with a second,
+    independent estimator family — and unlike HLL the same state also
+    yields the sample of kmv_sample_urls."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    res = build_sketch(li, "l_partkey", kmv_spec(k=1024))
+    st = res.state
+    est = KMV.distinct_count(st)
+    true = li.distinct().count()
+    ok = abs(est - true) <= 5 * KMV.rel_error(st) * true
+    return spark.createDataFrame([(true, bool(ok))],
+                                 "exact_parts long, ok boolean")
+
+
 # simhash oracle: the md5-based simhash is reconstructed in pure SQL —
 # per-token 64-bit hash = first 16 md5 hex chars, 64 per-bit vote sums,
 # sign rule 2*ones > ntok, then brute-force pairing on bit_count(xor).
@@ -1045,12 +1151,13 @@ def webtext_url_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-membership sketch over the crawl ("is url X in the crawl?"):
     no false negatives on every crawled url; FP rate on fresh urls within
     the published bound."""
-    wp = webpages(spark, sf_dir).select("url").cache()
-    n = wp.count()
+    wp = webpages(spark, sf_dir).select("url")
+    # webpages is 1 row per document, so the parquet footer of the source
+    # table sizes the filter — no cache+count materialization pass
+    n = table_row_count(sf_dir, "documents")
     res = build_sketch(wp, "url", bloom_spec(n, 0.01))
     fn_cnt = wp.where(
         ~bloom_contains_col(spark, res.state_bytes, F.col("url"))).count()
-    wp.unpersist()
     n_probe = 50_000
     fresh = spark.range(n_probe).select(
         F.concat(F.lit("https://unseen"), F.col("id"),

@@ -9,10 +9,12 @@ from .bloom import BLOOM, Bloom, BloomState
 from .cms import CMS, Cms, CmsState
 from .hll import HLL, Hll, HllState
 from .kll import KLL, Kll, KllState
+from .kmv import KMV, Kmv, KmvState
+from .mg import MG, Mg, MgState
 from .protocol import pack_state, peek_kind, unpack_state
 from .tdigest import TDIGEST, TDigest, TDigestState
 
-KINDS = {s.name: s for s in (BLOOM, HLL, CMS, KLL, TDIGEST)}
+KINDS = {s.name: s for s in (BLOOM, HLL, CMS, KLL, TDIGEST, MG, KMV)}
 
 
 def deserialize_any(data: bytes):
@@ -26,6 +28,8 @@ __all__ = [
     "HLL", "Hll", "HllState",
     "CMS", "Cms", "CmsState",
     "KLL", "Kll", "KllState",
+    "KMV", "Kmv", "KmvState",
+    "MG", "Mg", "MgState",
     "TDIGEST", "TDigest", "TDigestState",
     "KINDS", "deserialize_any",
     "pack_state", "unpack_state", "peek_kind",

