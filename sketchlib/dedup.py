@@ -174,7 +174,9 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     est_cut = max(0.0, threshold - 2.5 / math.sqrt(num_hashes))
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows,
                                 min_est_jaccard=est_cut)
-    shset = df.select(
+    # widen BEFORE shingling: a single-file input would otherwise compute
+    # every shingle set in one task (measured 5x wall on 32 cores)
+    shset = widen(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)).alias("sh"),
     )
@@ -252,7 +254,7 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     that many docs before the join (standard boilerplate suppression —
     makes the result approximate for pairs whose ONLY overlap is
     boilerplate, so leave it None when exactness is gated)."""
-    shset = df.select(
+    shset = widen(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(tokens_col(text_col), shingle_n))
         .alias("sh"))
