@@ -468,9 +468,9 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
     strategies, both returning DataFrame(group_cols..., state binary, n long):
 
     ``shuffle`` (default) — two-phase SALTED aggregation.  Phase 1 groups by
-    (group_cols, salt) where salt = spark_partition_id % B: a hot group's
-    rows — which span many input partitions — fan out over up to B phase-1
-    tasks instead of melting one executor.  Phase 2 merges the ≤B partials
+    (group_cols, salt) where salt = xxhash64(value) % B: a hot group's
+    rows fan out over up to B phase-1 tasks instead of melting one
+    executor, independent of how the input happens to be split.  Phase 2 merges the ≤B partials
     per group (tiny shuffle: B states per group, not B rows).  This is the
     explicit skew defusal the north_rule requires because AQE's skew-join
     splitting does not apply to applyInPandas groups.  Right choice when
@@ -486,7 +486,12 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
     equally regardless of which group its rows belong to.
     """
     if strategy == "local_combine":
-        return _sketch_grouped_local(df, group_cols, value_col, spec)
+        from .textops import widen
+
+        # local_combine's parallelism IS the input partitioning — widen a
+        # one-split input so the python map stage isn't a single task
+        # (no-op at real input split counts)
+        return _sketch_grouped_local(widen(df), group_cols, value_col, spec)
     if strategy != "shuffle":
         raise ValueError(f"unknown strategy {strategy!r}")
     ops = spec.ops
@@ -499,8 +504,16 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
     partial_schema = ", ".join(schema_fields + ["__salt int", "state binary", "n long"])
     final_schema = ", ".join(schema_fields + ["state binary", "n long"])
 
+    # salt = hash of the VALUE, not spark_partition_id: fans a hot group
+    # over B phase-1 tasks even when the input arrives in one split, and
+    # is a pure data function (retry- and split-plan-stable, like
+    # shard_expr).  Caveat: a hot group whose rows repeat ONE value still
+    # lands in one bucket — duplicates collapse for distinct-style
+    # sketches anyway, and frequency sketches keyed on the value can
+    # pre-aggregate instead.
     salted = df.select(*gcols, F.col(value_col).alias("__v")) \
-        .withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).cast("int"))
+        .withColumn("__salt", F.pmod(F.xxhash64("__v", F.lit(29)),
+                                     F.lit(salt_buckets)).cast("int"))
 
     def build_group(key, pdf):
         state = spec.create()

@@ -32,7 +32,14 @@ def widen(df: DataFrame) -> DataFrame:
     mapInPandas over them would then run as ONE task no matter how many
     cores the cluster has (measured: MinHash over one-split documents =
     7.8 s single-task vs sub-second at 32).  At real scale inputs arrive
-    in hundreds of splits and this is a no-op."""
+    in hundreds of splits and this is a no-op.
+
+    Use ONLY ahead of python/CPU-heavy map stages (shingle set
+    construction, MinHash, html extraction, per-group applyInPandas).
+    For vectorized sketch-kernel builds the shuffle costs MORE than the
+    parallelism buys (A/B on 600k-row lineitem HLL: 0.33 s raw 3-split vs
+    2.0 s widened — the kernel updates millions of rows/sec/core, so
+    fan-out only pays once per-core work dwarfs a full row shuffle)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

@@ -75,7 +75,13 @@ def webpages(spark: SparkSession, sf_dir: str, *,
              canon_only: bool = False) -> DataFrame:
     """The web-page table for one scale factor.  Keeps helper columns
     (doc_id, host_id) unless canon_only — probes and oracles join on them."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .textops import widen
+
+    # widen at the source: a single-split parquet read would otherwise run
+    # every downstream map stage (extract, hash, sketch partials) as ONE
+    # task; at real crawl scale the read arrives in many splits and this
+    # is a no-op
+    docs = widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     df = (docs
           .withColumn("host_id", F.expr(_HOST_EXPR))
           .withColumn("url", F.expr(_URL_EXPR))

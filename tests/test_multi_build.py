@@ -74,9 +74,11 @@ def test_salting_splits_hot_group(spark, sf_test):
     phase-1 tasks — no single task owns the head of the Zipf curve."""
     from sketchlib.webtext import webpages
 
-    wp = webpages(spark, sf_test).repartition(16)  # many input partitions
+    # coalesce(1): even when the crawl arrives as ONE split, value-hash
+    # salting still fans the hot host out (partition-id salting would not)
+    wp = webpages(spark, sf_test).coalesce(1)
     sel = wp.select("host_id", F.col("url").alias("__v")) \
-        .withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(8)))
+        .withColumn("__salt", F.pmod(F.xxhash64("__v", F.lit(29)), F.lit(8)))
     phase1_groups = (sel.groupBy("host_id", "__salt").count()
                      .where(F.col("host_id") == 0).count())
     assert phase1_groups >= 4  # hot host spread over >= 4 salt buckets
