@@ -171,3 +171,34 @@ class TestStatefulGroupedSketch:
         for win, true in exact.items():
             tol = max(5 * 1.04 / (2 ** 6) * true, 3)  # p=12 -> 1.04/64
             assert abs(ests[win] - true) <= tol, win
+
+
+def test_stream_generalizes_to_new_sketch_kinds(spark, sf_smoke, tmp_path):
+    """The streaming layer is spec-generic: the kinds added after it was
+    written (KMV bottom-k, Misra-Gries) stream through unchanged, and the
+    stream-accumulated state answers the same queries as a batch build."""
+    from sketchlib.agg import kmv_spec, mg_spec
+    from sketchlib.sketch import KMV, MG
+
+    src = _multi_file_copy(spark, sf_smoke, tmp_path)
+
+    spec = kmv_spec(k=128)
+    ss = StreamingSketch(spec, str(tmp_path / "state_kmv"), col="user_id")
+    _stream_events(spark, src, ss, str(tmp_path / "sck_kmv"))
+    assert len(ss.batches) >= 2
+    batch_res = build_sketch(spark.read.parquet(src), "user_id", spec)
+    # KMV merge is union+truncate (byte-exact algebra like HLL max)
+    assert ss.state_bytes == batch_res.state_bytes
+
+    spec_mg = mg_spec(cap=64)
+    sm = StreamingSketch(spec_mg, str(tmp_path / "state_mg"), col="event_type")
+    _stream_events(spark, src, sm, str(tmp_path / "sck_mg"))
+    st = sm.state
+    ev = spark.read.parquet(src)
+    exact = {r["event_type"]: r["c"] for r in
+             ev.groupBy("event_type").count()
+             .withColumnRenamed("count", "c").collect()}
+    assert st.n_total == sum(exact.values())
+    stored = dict(zip(st.keys, MG.estimate(st, st.keys).tolist()))
+    for k, c in stored.items():  # 5 event types, cap 64: counts exact
+        assert c <= exact[k] <= c + st.decr_total
