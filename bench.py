@@ -45,6 +45,7 @@ HEADLINE = [
     "neardup_pairs",
     "jaccard_exact_pairs",
     "kmv_sample_urls",
+    "kmv_sample_by_host",
     "simhash_pairs",
     "ann_topk",
     "embedding_neardup",

@@ -30,6 +30,7 @@ from .agg import (
     build_sketch,
     cms_estimate_col,
     cms_spec,
+    grouped_bottomk,
     hll_spec,
     kll_spec,
     kmv_bottomk,
@@ -837,6 +838,32 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = abs(est - true) <= 5 * KMV.rel_error(st) * true
     return spark.createDataFrame([(true, bool(ok))],
                                  "exact_parts long, ok boolean")
+
+
+@register("kmv_sample_by_host", f"""
+WITH {WEBPAGES_SQL},
+pr AS (
+  SELECT host_id::BIGINT AS host_id, url,
+         ('0x' || substring(md5(url), 1, 15))::BIGINT AS prio
+  FROM webpages
+)
+SELECT host_id, url, prio FROM (
+  SELECT *, row_number() OVER (PARTITION BY host_id ORDER BY prio, url) AS rn
+  FROM pr
+) WHERE rn <= 3
+""")
+def kmv_sample_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED deterministic sample: 3 urls per host by md5 priority
+    (grouped_bottomk).  The oracle re-derives the entire stratified
+    sample value-for-value — per-stratum coordinated sampling is how a
+    training pipeline takes an inspectable, rerun-stable slice of every
+    host without a full sort or RNG-state coordination."""
+    wp = webpages(spark, sf_dir).select(
+        F.col("host_id").cast("long").alias("host_id"), "url")
+    pr = wp.withColumn(
+        "prio",
+        F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long"))
+    return grouped_bottomk(pr, ["host_id"], "url", "prio", 3)
 
 
 # simhash oracle: the md5-based simhash is reconstructed in pure SQL —
