@@ -448,26 +448,28 @@ def build_sketches(df: DataFrame, cols_specs: list[tuple[str, SketchSpec]],
         sel = sel.repartition(num_shards)
     specs = [spec for _, spec in cols_specs]
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         states = [s.create() for s in specs]
         ns = [0] * len(specs)
-        for pdf in batches:
+        for rb in batches:
             for i, spec in enumerate(specs):
-                vals = _series_values(pdf[f"__v{i}"])
+                vals = _arrow_values(rb.column(i))
                 ns[i] += len(vals)
                 states[i] = spec.ops.update(states[i], vals)
         pid = TaskContext.get().partitionId()
-        yield pd.DataFrame({
-            "idx": np.arange(len(specs), dtype=np.int32),
-            "shard": np.full(len(specs), pid, np.int64),
-            "state": [spec.ops.serialize(st) for spec, st in zip(specs, states)],
-            "n": np.asarray(ns, np.int64),
+        yield pa.RecordBatch.from_pydict({
+            "idx": pa.array(range(len(specs)), pa.int32()),
+            "shard": pa.array([pid] * len(specs), pa.int64()),
+            "state": pa.array([spec.ops.serialize(st)
+                               for spec, st in zip(specs, states)],
+                              pa.binary()),
+            "n": pa.array(ns, pa.int64()),
         })
 
     t0 = time.perf_counter()
-    current = sel.mapInPandas(build, _MULTI_SCHEMA)
+    current = sel.mapInArrow(build, _MULTI_SCHEMA)
     num_partials = num_shards if num_shards is not None \
         else df.rdd.getNumPartitions()
 
