@@ -52,6 +52,7 @@ HEADLINE = [
     "multimodal_pipeline",
     "kll_rollup_day",
     "webtext_extract_ok",
+    "warc_ingest",
     "webtext_url_bloom",
     "webtext_host_hll",
     "webtext_shingle_bloom",

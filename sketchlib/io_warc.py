@@ -1,0 +1,111 @@
+"""WARC (Web ARChive, ISO 28500) ingest — the container format
+Common-Crawl ships crawls in.
+
+The reference has no file-format layer (SURVEY §2.4: its only I/O is an
+ifstream text read); this source exists for the north_star's
+"Common-Crawl-style web pages" payload so the engine can ingest real
+crawl archives, not just parquet.
+
+Format (public spec, warc/1.0 / 1.1): a WARC file is a concatenation of
+records, each
+    WARC/1.0\r\n
+    <header-name>: <value>\r\n ...
+    \r\n
+    <Content-Length bytes of payload>\r\n\r\n
+
+Parallelism model: record framing is inherently sequential WITHIN a file
+(each record's start depends on the previous Content-Length), so the
+scan parallelizes across FILES — exactly how crawl pipelines shard work
+(Common Crawl ships ~64k ~1 GB WARC files per crawl; one file = one
+task).  Per-record python here is per-RECORD (a record is a whole web
+page, ~100 KB median), not per-row-of-a-column; everything downstream of
+framing (hashing, sketching, extraction) is vectorized over record
+batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["synth_warc_bytes", "parse_warc_bytes", "read_warc"]
+
+_CRLF = b"\r\n"
+
+
+def synth_warc_bytes(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Serialize (url, iso_date, payload) triples as a valid WARC stream —
+    deterministic, used by tests/gates and as the writer half of the
+    round-trip contract."""
+    out = []
+    for url, date, payload in records:
+        header = (b"WARC/1.0" + _CRLF
+                  + b"WARC-Type: response" + _CRLF
+                  + b"WARC-Target-URI: " + url.encode() + _CRLF
+                  + b"WARC-Date: " + date.encode() + _CRLF
+                  + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+                  + _CRLF)
+        out.append(header + payload + _CRLF + _CRLF)
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
+    """Frame one WARC file into (url, date, payload) records.  Sequential
+    by necessity (see module docstring); tolerant of trailing garbage —
+    a malformed header ends the scan rather than corrupting records."""
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data.startswith(b"WARC/", pos):
+            break
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in data[pos:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            break
+        body_start = head_end + 4
+        if body_start + clen > n:
+            break  # truncated payload — drop the incomplete record
+        payload = data[body_start:body_start + clen]
+        records.append((headers.get(b"warc-target-uri", b"").decode(),
+                        headers.get(b"warc-date", b"").decode(),
+                        payload))
+        pos = body_start + clen + 4  # skip record-terminating CRLF CRLF
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame(url string, warc_ts timestamp, html binary) from a
+    directory of .warc files.  One file = one input row of the binaryFile
+    source = one framing task; downstream stages see ordinary columns."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, dates, payloads = [], [], []
+            for blob in pdf["content"]:
+                for url, date, payload in parse_warc_bytes(bytes(blob)):
+                    urls.append(url)
+                    dates.append(date)
+                    payloads.append(payload)
+            yield pd.DataFrame({"url": urls, "warc_date": dates,
+                                "html": payloads})
+
+    framed = files.select("content").mapInPandas(
+        frame, "url string, warc_date string, html binary")
+    from pyspark.sql import functions as F
+
+    return framed.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        "html")

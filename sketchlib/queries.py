@@ -840,6 +840,52 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "exact_parts long, ok boolean")
 
 
+@register("warc_ingest", f"""
+WITH {WEBPAGES_SQL}
+SELECT url,
+       strlen('<!DOCTYPE html><html lang="' || lang
+         || '"><head><meta charset="utf-8"><title>Doc ' || doc_id
+         || '</title><style>p{{margin:0}}</style></head><body><article><p>'
+         || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</p></article><script>/* tracking stub, must not leak into text */</script></body></html>'
+       )::BIGINT AS n_bytes,
+       TRUE AS extract_ok
+FROM webpages
+""")
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) round trip — the crawl-archive source format:
+    serialize every page into multi-record .warc files, re-ingest them
+    with read_warc (one file = one framing task, the Common-Crawl
+    sharding model), and verify per url that the payload survived
+    byte-exactly (extracted text == original text, html length matches
+    the oracle's independent reconstruction of the page bytes)."""
+    import tempfile
+    from collections import defaultdict
+
+    from .io_warc import read_warc, synth_warc_bytes
+
+    wp = webpages(spark, sf_dir)
+    src = wp.select("url", "warc_ts", "html", "text").collect()
+    with tempfile.TemporaryDirectory() as tmp:
+        buckets = defaultdict(list)
+        for i, r in enumerate(sorted(src, key=lambda r: r["url"])):
+            buckets[i % 8].append(
+                (r["url"], r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                 bytes(r["html"])))
+        for b, recs in buckets.items():
+            with open(f"{tmp}/{b:03d}.warc", "wb") as f:
+                f.write(synth_warc_bytes(recs))
+        ingested = read_warc(spark, tmp)
+        out = (ingested
+               .join(wp.select("url", "text"), "url")
+               .select("url",
+                       F.length("html").cast("long").alias("n_bytes"),
+                       (extracted_text_col(F.col("html")) == F.col("text"))
+                       .alias("extract_ok"))
+               .collect())  # materialize before the tempdir vanishes
+    return spark.createDataFrame(out, "url string, n_bytes long, extract_ok boolean")
+
+
 @register("kmv_sample_by_host", f"""
 WITH {WEBPAGES_SQL},
 pr AS (

@@ -1,0 +1,51 @@
+"""WARC ingest tests: framing round trip per the public ISO 28500 layout,
+malformed-input tolerance, and the file-parallel Spark read path."""
+
+import os
+
+from sketchlib.io_warc import parse_warc_bytes, read_warc, synth_warc_bytes
+
+RECS = [
+    ("https://a.example.com/1", "2024-01-01T00:00:00Z", b"<html>alpha</html>"),
+    ("https://b.example.com/2", "2024-01-01T00:00:01Z", b""),  # empty payload
+    ("https://c.example.com/3", "2024-01-02T12:34:56Z",
+     b"\r\n\r\nWARC/1.0\r\n binary-looking payload \x00\xff"),  # payload that
+    # contains record-delimiter bytes: framing MUST use Content-Length,
+    # not delimiter scanning
+]
+
+
+class TestFraming:
+    def test_round_trip(self):
+        assert parse_warc_bytes(synth_warc_bytes(RECS)) == RECS
+
+    def test_empty_and_garbage(self):
+        assert parse_warc_bytes(b"") == []
+        assert parse_warc_bytes(b"not a warc at all") == []
+
+    def test_truncated_tail_keeps_whole_records(self):
+        data = synth_warc_bytes(RECS)
+        # cut into the middle of the last record's header
+        cut = data[: data.rfind(b"WARC/1.0") + 20]
+        parsed = parse_warc_bytes(cut)
+        assert parsed == RECS[:2]
+
+    def test_missing_content_length_stops_cleanly(self):
+        bad = b"WARC/1.0\r\nWARC-Target-URI: x\r\n\r\npayload"
+        assert parse_warc_bytes(bad) == []
+
+
+def test_read_warc_spark(spark, tmp_path):
+    """Multiple .warc files -> one DataFrame; file == framing task."""
+    for i in range(3):
+        with open(os.path.join(tmp_path, f"{i}.warc"), "wb") as f:
+            recs = [(f"https://host{i}.example.com/doc/{j}",
+                     "2024-01-01T00:00:00Z",
+                     f"<p>doc {i}-{j}</p>".encode()) for j in range(4)]
+            f.write(synth_warc_bytes(recs))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 12
+    assert all(r["warc_ts"] is not None for r in rows)
+    one = next(r for r in rows if r["url"] == "https://host2.example.com/doc/3")
+    assert bytes(one["html"]) == b"<p>doc 2-3</p>"
