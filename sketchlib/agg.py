@@ -392,17 +392,28 @@ def kmv_bottomk(df: DataFrame, key_col: str, prio_col: str, k: int):
                     F.col(prio_col).cast("long").alias("__p"))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         state = KMV.create(k)
+        n = 0
         for pdf in batches:
             pdf = pdf[pdf["__k"].notna() & pdf["__p"].notna()]
             if len(pdf):
                 prios = pdf["__p"].to_numpy(np.int64).astype(np.uint64)
                 KMV.update_with_prios(state, prios, pdf["__k"].tolist())
-        yield pd.DataFrame({"state": [KMV.serialize(state)]})
+                n += len(pdf)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"shard": [pid], "state": [KMV.serialize(state)],
+                            "n": [n]})
 
-    rows = sel.mapInPandas(build, "state binary").collect()
+    # partials ride the generic log-depth tree merge: at hundreds of
+    # thousands of scan splits the driver receives <= fanout states, not
+    # P of them (the checkpoint._finalize lesson from round 1)
+    partials = sel.mapInPandas(build, PARTIAL_SCHEMA)
+    spec = SketchSpec("kmv", {"k": k})
+    merged = tree_merge(partials, spec, df.rdd.getNumPartitions())
     state = KMV.create(k)
-    for r in rows:
+    for r in merged.collect():
         state = KMV.merge(state, KMV.deserialize(bytes(r["state"])))
     return state
 
@@ -415,14 +426,24 @@ def grouped_bottomk(df: DataFrame, group_cols: list[str], key_col: str,
     samples are stable across runs, retries and cluster sizes, and two
     tables sampled with the same priority agree on shared keys.
 
-    Implemented as the idiomatic Spark plan (window rank over the group,
-    one hash shuffle on the group columns); the KMV kernel covers the
+    Two-phase against group skew: a single window over the group would
+    sort a hot group (40% of a crawl on one host) in ONE task.  Phase 1
+    ranks within (group, salt = hash(key) % B) and keeps k per salt
+    bucket — the hot group's sort spreads over B tasks; phase 2 ranks the
+    <= B*k survivors per group (tiny).  The KMV kernel covers the
     global/mergeable case where a single state must travel."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols).orderBy(F.col(prio_col), F.col(key_col))
-    return (df.select(*group_cols, key_col, prio_col)
-            .withColumn("__rn", F.row_number().over(w))
+    salt_buckets = 8
+    sel = df.select(*group_cols, key_col, prio_col).withColumn(
+        "__salt", F.pmod(F.xxhash64(key_col, F.lit(31)),
+                         F.lit(salt_buckets)).cast("int"))
+    w1 = Window.partitionBy(*group_cols, "__salt") \
+        .orderBy(F.col(prio_col), F.col(key_col))
+    pruned = (sel.withColumn("__rn", F.row_number().over(w1))
+              .where(F.col("__rn") <= k).drop("__rn", "__salt"))
+    w2 = Window.partitionBy(*group_cols).orderBy(F.col(prio_col), F.col(key_col))
+    return (pruned.withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= k)
             .drop("__rn"))
 

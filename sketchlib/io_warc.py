@@ -31,7 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["synth_warc_bytes", "parse_warc_bytes", "read_warc"]
+__all__ = ["synth_warc_bytes", "parse_warc_bytes", "read_warc", "write_wet"]
 
 _CRLF = b"\r\n"
 
@@ -82,6 +82,44 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
                         payload))
         pos = body_start + clen + 4  # skip record-terminating CRLF CRLF
     return records
+
+
+def write_wet(df: DataFrame, path: str, text_col: str = "text") -> int:
+    """WET-style sink (WARC conversion records — what Common Crawl ships
+    as the extracted-text companion of each WARC): one .wet file per
+    partition, records framed exactly like read_warc expects, so
+    write_wet -> read_warc round-trips byte-identically.
+
+    Executors write their partition's file directly (local FS here, a
+    mounted distributed FS at scale — the same pattern real crawl
+    pipelines use for archive outputs, which are files, not tables).
+    Returns the number of records written."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    sel = df.select(
+        F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("__d"),
+        F.col(text_col).alias("__t"))
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            for url, date, text in zip(pdf["url"], pdf["__d"], pdf["__t"]):
+                recs.append((url, date,
+                             (text or "").encode("utf-8")))
+        if recs:
+            with open(os.path.join(path, f"part-{pid:05d}.wet"), "wb") as f:
+                f.write(synth_warc_bytes(recs))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    counts = sel.mapInPandas(write_part, "n long").collect()
+    return sum(int(r["n"]) for r in counts)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

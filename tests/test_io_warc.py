@@ -49,3 +49,23 @@ def test_read_warc_spark(spark, tmp_path):
     assert all(r["warc_ts"] is not None for r in rows)
     one = next(r for r in rows if r["url"] == "https://host2.example.com/doc/3")
     assert bytes(one["html"]) == b"<p>doc 2-3</p>"
+
+
+def test_wet_sink_round_trips(spark, sf_smoke, tmp_path):
+    """WARC-in -> extract -> WET-out -> read back: extracted text survives
+    byte-identically through the archive sink (the Common-Crawl WET
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.io_warc import write_wet
+    from sketchlib.webtext import webpages
+
+    wp = webpages(spark, str(sf_smoke)).select("url", "warc_ts", "text")
+    out = str(tmp_path / "wet")
+    n = write_wet(wp, out)
+    assert n == wp.count()
+    back = read_warc(spark, out).select(
+        "url", F.decode("html", "UTF-8").alias("text2"))
+    joined = wp.join(back, "url")
+    assert joined.count() == n
+    assert joined.where(F.col("text") != F.col("text2")).count() == 0
