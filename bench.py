@@ -65,6 +65,7 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q6",
     "revenue_by_nation",
+    "bloom_join_prune",
 ]
 
 

@@ -418,6 +418,32 @@ def kmv_bottomk(df: DataFrame, key_col: str, prio_col: str, k: int):
     return state
 
 
+def bloom_prune_join(fact: DataFrame, fact_key: str,
+                     dim: DataFrame, dim_key: str,
+                     p: float = 0.01,
+                     expected_n: int | None = None) -> DataFrame:
+    """Sketch-accelerated join (the production use of a Bloom filter in a
+    distributed engine): build a Bloom over the dim side's join keys and
+    filter the FACT side BEFORE its join shuffle.  With a selective dim
+    (e.g. one region's customers), the fact rows that would be dropped by
+    the join never enter the exchange — at 100 TB that is the difference
+    between shuffling the whole fact table and shuffling the few percent
+    that survive.
+
+    Correct by the no-false-negative guarantee: every fact row with a
+    matching dim key passes the filter; false positives (<= p) are
+    eliminated by the actual join, so the result is EXACTLY the plain
+    join's.  Mirrors Spark's own runtime-filter optimization, but as an
+    explicit, sizable, reusable state (the same blob can prune many
+    queries or ship to another job)."""
+    n = expected_n if expected_n is not None else dim.count()
+    res = build_sketch(dim, dim_key, bloom_spec(max(n, 1), p))
+    pruned = fact.where(
+        bloom_contains_col(fact.sparkSession, res.state_bytes,
+                           F.col(fact_key)))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
 def grouped_bottomk(df: DataFrame, group_cols: list[str], key_col: str,
                     prio_col: str, k: int) -> DataFrame:
     """Stratified deterministic sample: the k smallest-priority keys PER

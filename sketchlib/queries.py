@@ -1441,6 +1441,39 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_items")))
 
 
+@register("bloom_join_prune", """
+SELECT n_name, COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""")
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective join: one region's customers qualify (~20%),
+    so the orders fact table is filtered by a Bloom over qualifying
+    custkeys BEFORE its join shuffle (agg.bloom_prune_join).  Exact-result
+    guarantee (no false negatives; join removes the <=1% false positives)
+    is what the oracle's plain 4-way join checks."""
+    from .agg import bloom_prune_join
+
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(_t(spark, sf_dir, "region")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .where(F.col("r_name") == "ASIA")
+            .select("c_custkey", "n_name"))
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = bloom_prune_join(orders, "o_custkey", cust, "c_custkey")
+    return (joined.groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))
+
+
 @register("asof_click_purchase", """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events
                 WHERE event_type = 'click'),

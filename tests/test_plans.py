@@ -104,3 +104,25 @@ def test_kmv_partials_zero_shuffle(spark, sf_test):
     # same shape the helper builds internally; assert no Exchange
     plan = plan_of(sel, "simple")
     assert "Exchange" not in plan
+
+
+def test_bloom_prune_join_exact_and_filters_fact_side(spark, sf_test):
+    """bloom_prune_join must (a) return exactly the plain join's rows
+    (no-false-negative pruning + join removes false positives) and
+    (b) place the membership filter on the fact side BEFORE the join —
+    the pruned rows never enter the exchange."""
+    from sketchlib.agg import bloom_prune_join
+
+    cust = (spark.read.parquet(f"{sf_test}/customer.parquet")
+            .where(F.col("c_custkey") % 7 == 0)  # selective dim (~14%)
+            .select("c_custkey"))
+    orders = spark.read.parquet(f"{sf_test}/orders.parquet") \
+        .select("o_custkey", "o_orderkey")
+    pruned = bloom_prune_join(orders, "o_custkey", cust, "c_custkey")
+    plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    assert pruned.count() == plain.count()
+    assert pruned.select(F.sum("o_orderkey")).collect()[0][0] == \
+        plain.select(F.sum("o_orderkey")).collect()[0][0]
+    plan = plan_of(pruned, "simple")
+    # the python membership UDF runs as a filter stage in this plan
+    assert ("EvalPython" in plan) or ("pythonUDF" in plan)
