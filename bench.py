@@ -46,6 +46,7 @@ HEADLINE = [
     "jaccard_exact_pairs",
     "kmv_sample_urls",
     "kmv_sample_by_host",
+    "kmv_set_ops",
     "simhash_pairs",
     "ann_topk",
     "embedding_neardup",

@@ -912,6 +912,42 @@ def kmv_sample_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_bottomk(pr, ["host_id"], "url", "prio", 3)
 
 
+@register("kmv_set_ops", """
+SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT SELECT user_id FROM events WHERE event_type = 'view'))::BIGINT
+         AS exact_inter,
+       (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT SELECT user_id FROM events WHERE event_type = 'view'))::BIGINT
+         AS exact_diff,
+       TRUE AS inter_ok, TRUE AS diff_ok
+""")
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style DIRECT set-operation estimates from two KMV states
+    (Dasgupta et al. / DataSketches theta model): |A∩B| and |A\\B| read
+    straight off the retained-hash samples below the common theta —
+    unlike HLL, which can only union and must reach intersections via
+    inclusion-exclusion with compounded error (hll_user_overlap).  Gated
+    within 5x the 1/sqrt(retained) RSE of the exact counts."""
+    ev = _t(spark, sf_dir, "events")
+    a = build_sketch(ev.where(F.col("event_type") == "click"),
+                     "user_id", kmv_spec(k=2048))
+    b = build_sketch(ev.where(F.col("event_type") == "view"),
+                     "user_id", kmv_spec(k=2048))
+    est_i, kept_i = KMV.intersection_count(a.state, b.state)
+    est_d, kept_d = KMV.difference_count(a.state, b.state)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    exact_i = clicks.intersect(views).count()
+    exact_d = clicks.distinct().subtract(views.distinct()).count()
+    tol_i = 5 * exact_i / math.sqrt(max(kept_i, 1)) + 3
+    tol_d = 5 * exact_d / math.sqrt(max(kept_d, 1)) + 3
+    return spark.createDataFrame(
+        [(exact_i, exact_d,
+          bool(abs(est_i - exact_i) <= tol_i),
+          bool(abs(est_d - exact_d) <= tol_d))],
+        "exact_inter long, exact_diff long, inter_ok boolean, diff_ok boolean")
+
+
 # simhash oracle: the md5-based simhash is reconstructed in pure SQL —
 # per-token 64-bit hash = first 16 md5 hex chars, 64 per-bit vote sums,
 # sign rule 2*ones > ntok, then brute-force pairing on bit_count(xor).

@@ -112,6 +112,41 @@ class Kmv:
         """Published relative standard error of the estimator."""
         return 1.0 / np.sqrt(max(state.k - 2, 1))
 
+    # -- theta-style set algebra -------------------------------------------
+    #
+    # A KMV state IS a theta sketch with theta = kth-min normalized
+    # priority: the kept hashes are a uniform sample of the distinct set
+    # at rate theta, so ANY set expression can be estimated by evaluating
+    # it on the kept-hash sets below the common theta and dividing by
+    # theta (Dasgupta et al., the DataSketches theta model).  This gives
+    # direct intersection/difference estimates — unlike HLL, which only
+    # unions and must reach intersections via inclusion-exclusion with
+    # compounded error.
+
+    def _theta(self, state: KmvState) -> float:
+        if len(state.prios) < state.k:
+            return 1.0
+        return float(state.prios[state.k - 1]) / 2.0**64
+
+    def intersection_count(self, a: KmvState, b: KmvState) -> tuple[float, int]:
+        """(estimated |A ∩ B|, retained sample size).  RSE ≈ 1/√retained."""
+        theta = min(self._theta(a), self._theta(b))
+        cut = np.uint64(int(theta * 2.0**64)) if theta < 1.0 \
+            else np.uint64(0xFFFFFFFFFFFFFFFF)
+        common = np.intersect1d(a.prios[a.prios < cut] if theta < 1.0 else a.prios,
+                                b.prios[b.prios < cut] if theta < 1.0 else b.prios)
+        return len(common) / theta, int(len(common))
+
+    def difference_count(self, a: KmvState, b: KmvState) -> tuple[float, int]:
+        """(estimated |A \\ B|, retained sample size)."""
+        theta = min(self._theta(a), self._theta(b))
+        cut = np.uint64(int(theta * 2.0**64)) if theta < 1.0 \
+            else np.uint64(0xFFFFFFFFFFFFFFFF)
+        sa = a.prios[a.prios < cut] if theta < 1.0 else a.prios
+        sb = b.prios[b.prios < cut] if theta < 1.0 else b.prios
+        only = np.setdiff1d(sa, sb)
+        return len(only) / theta, int(len(only))
+
     def stats(self, state: KmvState) -> dict:
         return {"k": state.k, "n_kept": len(state.prios),
                 "n_total": state.n_total,

@@ -105,3 +105,35 @@ def test_spark_build_path(spark):
     expect = [r["k"] for r in pr.select("k", "p").distinct()
               .orderBy("p", "k").limit(32).collect()]
     assert KMV.sample(st) == expect
+
+
+class TestThetaSetOps:
+    def test_exact_below_capacity(self):
+        a = KMV.update(KMV.create(1024), np.arange(0, 500, dtype=np.int64))
+        b = KMV.update(KMV.create(1024), np.arange(300, 800, dtype=np.int64))
+        est_i, kept_i = KMV.intersection_count(a, b)
+        est_d, _ = KMV.difference_count(a, b)
+        # theta == 1.0: the "sample" is the whole set, estimates are exact
+        assert est_i == 200 and kept_i == 200
+        assert est_d == 300
+
+    def test_sampled_estimates_within_rse(self):
+        n, overlap = 200_000, 60_000
+        a = KMV.update(KMV.create(2048), np.arange(0, n, dtype=np.int64))
+        b = KMV.update(KMV.create(2048),
+                       np.arange(n - overlap, 2 * n - overlap, dtype=np.int64))
+        est_i, kept_i = KMV.intersection_count(a, b)
+        assert abs(est_i - overlap) <= 5 * overlap / np.sqrt(max(kept_i, 1))
+        est_d, kept_d = KMV.difference_count(a, b)
+        true_d = n - overlap
+        assert abs(est_d - true_d) <= 5 * true_d / np.sqrt(max(kept_d, 1))
+
+    def test_disjoint_and_subset(self):
+        a = KMV.update(KMV.create(512), np.arange(0, 50_000, dtype=np.int64))
+        b = KMV.update(KMV.create(512),
+                       np.arange(60_000, 110_000, dtype=np.int64))
+        est_i, _ = KMV.intersection_count(a, b)
+        assert est_i == 0.0  # no shared hashes, ever
+        sub = KMV.update(KMV.create(512), np.arange(0, 5_000, dtype=np.int64))
+        est_ds, _ = KMV.difference_count(sub, a)  # subset minus superset
+        assert est_ds == 0.0
