@@ -174,12 +174,13 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     est_cut = max(0.0, threshold - 2.5 / math.sqrt(num_hashes))
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows,
                                 min_est_jaccard=est_cut)
-    # widen BEFORE shingling: a single-file input would otherwise compute
-    # every shingle set in one task (measured 5x wall on 32 cores)
+    # widen BEFORE shingling (a single-file input would otherwise compute
+    # every shingle set in one task — measured 5x wall on 32 cores), and
+    # persist: both sides of the verification join read the same sets
     shset = widen(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)).alias("sh"),
-    )
+    ).persist()
     a = shset.alias("sa")
     b = shset.alias("sb")
     joined = (
@@ -254,10 +255,15 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     that many docs before the join (standard boilerplate suppression —
     makes the result approximate for pairs whose ONLY overlap is
     boilerplate, so leave it None when exactness is gated)."""
+    # cache: the shingle pipeline feeds BOTH sides of the self-join plus
+    # the size lookup — without it Spark recomputes the tokenize+shingle
+    # expressions 3x (measured ~4s each at sf0.1 vs ~1s once).  At real
+    # scale this materialization is the standard "build the inverted
+    # index once" step (checkpoint it if it exceeds cluster cache).
     shset = widen(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(tokens_col(text_col), shingle_n))
-        .alias("sh"))
+        .alias("sh")).persist()
     sizes = shset.select("id", F.size("sh").alias("n"))
     e = shset.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
