@@ -103,3 +103,34 @@ def test_grouped_strategies_agree(spark, sf_smoke):
     for et, blob in a.items():
         est = HLL.cardinality(HLL.deserialize(blob))
         assert abs(est - exact[et]) <= max(5 * 1.04 / (2**12) ** 0.5 * exact[et], 3)
+
+
+def test_grouped_engine_generalizes_to_new_kinds(spark, sf_smoke):
+    """sketch_grouped is spec-generic: per-group KMV (distinct estimate +
+    sample) and per-group MG (exact-bound heavy hitters) work through the
+    same salted path the mandated kinds use."""
+    from sketchlib.agg import kmv_spec, mg_spec, sketch_grouped
+    from sketchlib.sketch import KMV, MG
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    exact = {r["event_type"]: r["c"] for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("c")).collect()}
+
+    kmv_states = {r["event_type"]: KMV.deserialize(bytes(r["state"])) for r in
+                  sketch_grouped(ev, ["event_type"], "user_id",
+                                 kmv_spec(k=256)).collect()}
+    assert set(kmv_states) == set(exact)
+    for t, st in kmv_states.items():
+        est = KMV.distinct_count(st)
+        assert abs(est - exact[t]) <= 5 * KMV.rel_error(st) * exact[t] + 3
+
+    mg_states = {r["event_type"]: MG.deserialize(bytes(r["state"])) for r in
+                 sketch_grouped(ev, ["event_type"], "user_id",
+                                mg_spec(cap=64)).collect()}
+    totals = {r["event_type"]: r["c"] for r in
+              ev.groupBy("event_type").count()
+              .withColumnRenamed("count", "c").collect()}
+    for t, st in mg_states.items():
+        assert st.n_total == totals[t]
+        assert st.decr_total <= st.n_total / (st.cap + 1)
