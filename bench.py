@@ -42,6 +42,8 @@ HEADLINE = [
     "kll_price_quantiles",
     "tdigest_value_quantiles",
     "dedup_exact",
+    "dedup_keep_first",
+    "weighted_sample_docs",
     "neardup_pairs",
     "jaccard_exact_pairs",
     "kmv_sample_urls",

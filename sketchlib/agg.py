@@ -444,6 +444,32 @@ def bloom_prune_join(fact: DataFrame, fact_key: str,
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
 
 
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    u_col: str | None = None) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement (Efraimidis-
+    Spirakis): each key draws u in (0,1) and ranks by u^(1/w); the top-k
+    ES keys are a sample where inclusion probability scales with weight —
+    the standard way to bias a training-data draw toward long/high-value
+    documents without replacement artifacts.
+
+    u defaults to a pure hash of the key, making the sample DETERMINISTIC
+    and coordinated (same keys -> same draws across tables/runs); pass
+    ``u_col`` to supply an externally reproducible uniform (e.g. an
+    md5-derived one an SQL oracle can recompute).  Physical plan is
+    TakeOrderedAndProject: per-partition top-k then a k-row merge — no
+    global sort."""
+    if u_col is None:
+        u = (F.xxhash64(F.col(key_col), F.lit(43)).cast("double")
+             / F.lit(float(2**64)) + F.lit(0.5))
+    else:
+        u = F.col(u_col)
+    es = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (df.where(F.col(weight_col) > 0)
+            .orderBy(es.desc(), F.col(key_col))
+            .limit(k)
+            .select(key_col, weight_col))
+
+
 def grouped_bottomk(df: DataFrame, group_cols: list[str], key_col: str,
                     prio_col: str, k: int) -> DataFrame:
     """Stratified deterministic sample: the k smallest-priority keys PER

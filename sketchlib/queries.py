@@ -840,6 +840,48 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "exact_parts long, ok boolean")
 
 
+@register("weighted_sample_docs", """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+             / 1152921504606846976.0, 1.0 / n_chars) AS es
+  FROM documents WHERE n_chars > 0
+  ORDER BY es DESC, doc_id LIMIT 50
+)
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement (Efraimidis-
+    Spirakis, agg.weighted_sample): 50 docs drawn with inclusion
+    probability scaling with n_chars, u derived from md5 so the ORACLE
+    RECOMPUTES THE EXACT SAMPLE — deterministic, coordinated, and biased
+    toward long documents the way a loss-weighted training draw is."""
+    from .agg import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long").cast("double")
+         / F.lit(float(1 << 60)))
+    return weighted_sample(
+        docs.withColumn("__u", u), "doc_id", "n_chars", 50, u_col="__u") \
+        .select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+
+
+@register("dedup_keep_first", """
+SELECT doc_id, md5(text) AS text_hash FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+""")
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (not just the group map): keep the
+    lowest doc_id of every exact-duplicate cluster via a left-semi join —
+    the materialization step a training pipeline actually runs."""
+    from .dedup import exact_dedup_keep_first
+
+    docs = _t(spark, sf_dir, "documents")
+    return (exact_dedup_keep_first(docs)
+            .select(F.col("doc_id").cast("long"),
+                    F.md5(F.col("text")).alias("text_hash")))
+
+
 @register("warc_ingest", f"""
 WITH {WEBPAGES_SQL}
 SELECT url,

@@ -126,3 +126,14 @@ def test_bloom_prune_join_exact_and_filters_fact_side(spark, sf_test):
     plan = plan_of(pruned, "simple")
     # the python membership UDF runs as a filter stage in this plan
     assert ("EvalPython" in plan) or ("pythonUDF" in plan)
+
+
+def test_weighted_sample_no_global_sort(spark, sf_test):
+    """weighted_sample must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a full Sort+Exchange of the corpus."""
+    from sketchlib.agg import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    plan = plan_of(weighted_sample(docs, "doc_id", "n_chars", 50), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
