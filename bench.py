@@ -38,6 +38,8 @@ HEADLINE = [
     "stream_hll_users",
     "cms_heavy_tokens",
     "mg_heavy_tokens",
+    "mg_heavy_hosts",
+    "kll_doclen_by_lang",
     "cms_heavy_suppliers_by_qty",
     "kll_price_quantiles",
     "tdigest_value_quantiles",

@@ -840,6 +840,57 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "exact_parts long, ok boolean")
 
 
+@register("mg_heavy_hosts", f"""
+WITH {WEBPAGES_SQL},
+tot AS (SELECT COUNT(*)::DOUBLE AS total FROM webpages)
+SELECT host_id::BIGINT AS host_id, COUNT(*)::BIGINT AS n_pages
+FROM webpages GROUP BY host_id
+HAVING COUNT(*) >= CEIL(0.02 * (SELECT total FROM tot))
+""")
+def mg_heavy_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries under structural skew: the 40%-of-pages host must
+    survive the summary (any key with true count > decr_total is stored),
+    and the exact verify touches ONLY candidate rows — on a crawl this is
+    the 'which hosts dominate my corpus' question answered without a
+    full host groupBy."""
+    wp = webpages(spark, sf_dir).select(F.col("host_id").cast("long"))
+    res = build_sketch(wp, "host_id", mg_spec(cap=256))
+    st = res.state
+    thresh = math.ceil(0.02 * st.n_total)
+    cands = [int(c) for c in MG.heavy_candidates(st, thresh)]
+    return (wp.where(F.col("host_id").isin(cands))
+            .groupBy("host_id").agg(F.count("*").alias("n_pages"))
+            .where(F.col("n_pages") >= thresh)
+            .select("host_id", F.col("n_pages").cast("long")))
+
+
+@register("kll_doclen_by_lang", """
+SELECT lang, COUNT(*)::BIGINT AS n_docs, TRUE AS median_ok
+FROM documents GROUP BY lang
+""")
+def kll_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantiles on a real corpus attribute: per-language KLL over
+    document length; each language's estimated median must sit within the
+    rank-error bound of its exact rank (the doc-length-distribution-per-
+    language profile a data-quality pass reports)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("len"))
+    grouped = sketch_grouped(docs, ["lang"], "len", kll_spec(k=200))
+    meds = {r["lang"]: float(KLL.quantile(
+        KLL.deserialize(bytes(r["state"])), 0.5))
+        for r in grouped.collect()}
+    med_df = spark.createDataFrame(list(meds.items()), "lang string, med double")
+    ranked = (docs.join(F.broadcast(med_df), "lang")
+              .groupBy("lang")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum((F.col("len") <= F.col("med")).cast("long"))
+                   .alias("below")))
+    return ranked.select(
+        "lang", F.col("n_docs").cast("long"),
+        (F.abs(F.col("below") / F.col("n_docs") - 0.5) <= 0.05)
+        .alias("median_ok"))
+
+
 @register("weighted_sample_docs", """
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
