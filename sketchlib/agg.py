@@ -378,14 +378,13 @@ def build_cms_weighted(df: DataFrame, key_col: str, weight_col: str,
                        time.perf_counter() - t0)
 
 
-def kmv_bottomk(df: DataFrame, key_col: str, prio_col: str, k: int):
-    """Deterministic distributed bottom-k sample with a caller-supplied
-    priority column (any fixed hash of the key — e.g. an md5-derived
-    integer that an external SQL engine can re-derive, making the sample
-    itself value-checkable).  Per-partition KMV partials, then merge; a
-    partial is at most k (priority, key) entries, so even at thousands of
-    partitions the merge input is k*P tiny rows, not data-scale.  Returns
-    the final KmvState."""
+def kmv_partials(df: DataFrame, key_col: str, prio_col: str, k: int) -> DataFrame:
+    """Per-partition KMV bottom-k partial states — the zero-shuffle stage of
+    kmv_bottomk (exposed so plan tests can assert no Exchange precedes the
+    python map).  Priorities MUST be non-negative: the kernel orders them as
+    uint64 after a signed-long cast, so a negative priority would silently
+    sort opposite to the documented 'oracle re-derives the sample with
+    ORDER BY prio LIMIT k' contract — asserted per batch."""
     from .sketch import KMV
 
     sel = df.select(F.col(key_col).alias("__k"),
@@ -399,17 +398,36 @@ def kmv_bottomk(df: DataFrame, key_col: str, prio_col: str, k: int):
         for pdf in batches:
             pdf = pdf[pdf["__k"].notna() & pdf["__p"].notna()]
             if len(pdf):
-                prios = pdf["__p"].to_numpy(np.int64).astype(np.uint64)
-                KMV.update_with_prios(state, prios, pdf["__k"].tolist())
+                signed = pdf["__p"].to_numpy(np.int64)
+                if (signed < 0).any():
+                    raise ValueError(
+                        "kmv_bottomk priorities must be non-negative "
+                        "(uint64 ordering contract)")
+                KMV.update_with_prios(state, signed.astype(np.uint64),
+                                      pdf["__k"].tolist())
                 n += len(pdf)
         pid = TaskContext.get().partitionId()
         yield pd.DataFrame({"shard": [pid], "state": [KMV.serialize(state)],
                             "n": [n]})
 
+    return sel.mapInPandas(build, PARTIAL_SCHEMA)
+
+
+def kmv_bottomk(df: DataFrame, key_col: str, prio_col: str, k: int):
+    """Deterministic distributed bottom-k sample with a caller-supplied
+    priority column (any fixed hash of the key — e.g. an md5-derived
+    integer that an external SQL engine can re-derive, making the sample
+    itself value-checkable).  Priorities must be NON-NEGATIVE (see
+    kmv_partials).  Per-partition KMV partials, then merge; a partial is at
+    most k (priority, key) entries, so even at thousands of partitions the
+    merge input is k*P tiny rows, not data-scale.  Returns the final
+    KmvState."""
+    from .sketch import KMV
+
     # partials ride the generic log-depth tree merge: at hundreds of
     # thousands of scan splits the driver receives <= fanout states, not
     # P of them (the checkpoint._finalize lesson from round 1)
-    partials = sel.mapInPandas(build, PARTIAL_SCHEMA)
+    partials = kmv_partials(df, key_col, prio_col, k)
     spec = SketchSpec("kmv", {"k": k})
     merged = tree_merge(partials, spec, df.rdd.getNumPartitions())
     state = KMV.create(k)

@@ -68,15 +68,53 @@ _pattern_tables: dict[int, np.ndarray] = {}
 
 
 def _pattern_table(k: int) -> np.ndarray:
-    """uint64[2^10] masks, each with exactly k set bits, deterministic."""
+    """uint64[2^10] masks, each with exactly k set bits, deterministic.
+
+    Masks are derived from the repo's own splitmix64 primitive (select k
+    distinct bit positions by rejection over a counter stream), NOT from
+    numpy's Generator: a serialized pattern state probed under a different
+    numpy build must derive the byte-identical table, or membership gets
+    silent false negatives.  splitmix64 is a fixed public algorithm, so the
+    table is stable across numpy/python versions by construction
+    (test_bloom_kernel pins golden values)."""
     table = _pattern_tables.get(k)
     if table is None:
-        rng = np.random.default_rng(_PATTERN_SEED + k)
+        from ..hashing import splitmix64
+
         n_masks = 1 << _PATTERN_LOG_MASKS
-        # per-mask k distinct bit positions via argpartition of random keys
-        order = np.argsort(rng.random((n_masks, 64)), axis=1)[:, :k]
-        table = np.bitwise_or.reduce(
-            np.uint64(1) << order.astype(np.uint64), axis=1)
+        base = np.uint64(_PATTERN_SEED) ^ (np.uint64(k) << np.uint64(48))
+        # one vectorized draw of `attempts` candidate positions per mask;
+        # rejection keeps the first k distinct — spare attempts make a
+        # per-row shortfall (needs more than `attempts` draws) vanishingly
+        # rare, and the fallback stream below covers it exactly.
+        attempts = max(4 * k, 32)
+        with np.errstate(over="ignore"):
+            ctrs = base + np.arange(n_masks * attempts, dtype=np.uint64)
+            pos = (splitmix64(ctrs) & np.uint64(63)).reshape(n_masks, attempts)
+        masks = np.zeros(n_masks, np.uint64)
+        for i in range(n_masks):
+            mask, bits = np.uint64(0), 0
+            for p in pos[i]:
+                bit = np.uint64(1) << p
+                if not mask & bit:
+                    mask |= bit
+                    bits += 1
+                    if bits == k:
+                        break
+            extra = np.uint64(0)
+            while bits < k:  # fallback rejection stream, same primitive
+                with np.errstate(over="ignore"):
+                    p = splitmix64(np.array(
+                        [base ^ np.uint64(0xA5A5_0000_0000_0000)
+                         ^ (np.uint64(i) << np.uint64(20)) ^ extra],
+                        np.uint64))[0] & np.uint64(63)
+                extra += np.uint64(1)
+                bit = np.uint64(1) << p
+                if not mask & bit:
+                    mask |= bit
+                    bits += 1
+            masks[i] = mask
+        table = masks
         _pattern_tables[k] = table
     return table
 

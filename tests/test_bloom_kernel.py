@@ -204,6 +204,16 @@ class TestPatternedMode:
         assert t1.shape == (1024,)
         pc = np.unpackbits(t1.view(np.uint8)).reshape(1024, -1).sum(axis=1)
         assert bool(np.all(pc == 7))
+        # golden values pin the splitmix64 derivation: the table must be
+        # byte-identical across numpy/python builds, or a serialized
+        # pattern state probed elsewhere gets silent false negatives
+        assert int(t1[0]) == 0x4080040004200081
+        assert int(t1[1]) == 0x0800000001822101
+        assert int(t1[1023]) == 0x2801000200060010
+        t3 = _pattern_table(3)
+        assert int(t3[0]) == 0x00000C0400000000
+        pc3 = np.unpackbits(t3.view(np.uint8)).reshape(1024, -1).sum(axis=1)
+        assert bool(np.all(pc3 == 3))
 
     def test_single_word_confinement(self):
         one = BLOOM.update(BLOOM.create(4_000, 0.01, pattern=True), [b"key"])

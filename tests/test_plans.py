@@ -93,17 +93,31 @@ def test_mg_verify_filter_pushed_to_scan(spark, sf_test):
 
 
 def test_kmv_partials_zero_shuffle(spark, sf_test):
-    """kmv_bottomk ships only k-entry partials: the mapInPandas stage runs
-    on the scan partitioning with no exchange before it."""
-    from sketchlib.agg import kmv_bottomk  # noqa: F401 (import path check)
+    """kmv_bottomk ships only k-entry partials: the ACTUAL mapInPandas stage
+    kmv_bottomk builds (exposed as kmv_partials) runs on the scan
+    partitioning with no exchange before it."""
+    from sketchlib.agg import kmv_partials
 
     wp = spark.read.parquet(f"{sf_test}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("url"))
     pr = wp.withColumn("prio", F.pmod(F.xxhash64("url"), F.lit(2**40)))
-    sel = pr.select(F.col("url").alias("__k"), F.col("prio").alias("__p"))
-    # same shape the helper builds internally; assert no Exchange
-    plan = plan_of(sel, "simple")
+    plan = plan_of(kmv_partials(pr, "url", "prio", 64), "simple")
+    assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_kmv_negative_priority_rejected(spark, sf_test):
+    """Negative priorities would silently reverse the uint64 bottom-k order
+    — the partial builder must reject them."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from sketchlib.agg import kmv_bottomk
+
+    wp = spark.read.parquet(f"{sf_test}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"))
+    bad = wp.withColumn("prio", F.lit(-5).cast("long"))
+    with pytest.raises((Py4JJavaError, Exception), match="non-negative"):
+        kmv_bottomk(bad, "url", "prio", 16)
 
 
 def test_bloom_prune_join_exact_and_filters_fact_side(spark, sf_test):
