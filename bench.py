@@ -171,6 +171,7 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
         spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
     ensure_shipped(spark)
 
+    from sketchlib.dedup import release
     from sketchlib.queries import QUERIES
 
     # Warm python workers (imports) so the first query isn't charged for
@@ -191,10 +192,12 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
             if fn is None:
                 continue
             t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
+            res = fn(spark, sf_dir)
+            _force(res)
             dt = time.perf_counter() - t0
             timings[name] = round(dt, 3)
             total += dt
+            release(res)  # free caches the operator attached (dedup paths)
 
     extras = sketch_build_throughput(spark, sf_dir)
     extras.update(grouped_state_bytes(spark, sf_dir))

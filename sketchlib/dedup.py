@@ -18,7 +18,6 @@ At 100 TB: every stage is a narrow map or a shuffle on a bounded-width key
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
@@ -30,9 +29,25 @@ from .hashing import derive_hashes
 from .textops import shingles_col, tokens_col, widen
 
 __all__ = [
-    "exact_dedup_groups", "exact_dedup_keep_first", "minhash_signatures",
+    "exact_dedup_groups", "exact_dedup_keep_first", "hashed_shingle_sets",
+    "minhash_signatures", "minhash_signatures_from_hashes",
     "lsh_candidate_pairs", "verified_near_dup_pairs", "simhash_near_dup_pairs",
+    "release",
 ]
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist any cached DataFrames an operator attached to its result
+    (``_sl_persisted``).  Call after the result is materialized — long
+    sessions (bench, notebooks) otherwise accumulate cached blocks for the
+    session lifetime and lean on LRU eviction."""
+    for h in getattr(df, "_sl_persisted", ()):
+        h.unpersist()
+
+
+def _attach(result: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    result._sl_persisted = handles
+    return result
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -54,21 +69,36 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
     return df.join(w, df[id_col] == w["keep_id"], "leftsemi")
 
 
-def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", num_hashes: int = 64,
-                       shingle_n: int = 3) -> DataFrame:
-    """(id, sig array<bigint>) — MinHash signature over word-shingle sets.
+def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        shingle_n: int = 3) -> DataFrame:
+    """(id, hs array<bigint>) — each document's DISTINCT word-shingle set,
+    xxhash64-hashed, entirely JVM-side (shingles_col Catalyst expressions +
+    per-shingle xxhash64).  This is the ONE shingling pass of the near-dup
+    pipeline: MinHash signatures derive from it (minimum over remixed
+    hashes) and exact verification intersects it directly — set operations
+    on 64-bit shingle hashes equal set operations on the shingle strings
+    up to a within-document hash collision, P < s²/2⁶⁵ per doc (~10⁻¹³ at
+    10⁴ shingles), negligible against MinHash's measured-recall bar.
+    Hashing before the Arrow hop also shrinks the transfer from shingle
+    strings to one int64 per shingle.  Input is widen()ed first: a
+    single-file corpus would otherwise tokenize in one task."""
+    return widen(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)),
+            lambda s: F.xxhash64(s)).alias("__shash"))
 
-    Shingling AND base hashing happen JVM-side (shingles_col Catalyst
-    expressions + per-shingle xxhash64 — round-1 verdict finding #4
-    replaced a per-document Python join loop; hashing before the Arrow
-    hop also shrinks the transfer from shingle strings to one int64 per
-    shingle).  The Python side only concatenates the batch's hash arrays,
-    derives each hash family with a splitmix remix of the base hash, and
-    takes per-document minima with np.minimum.reduceat over the contiguous
-    per-doc segments (an order of magnitude faster than the unbuffered
-    np.minimum.at scatter).
-    """
+
+def minhash_signatures_from_hashes(hs_df: DataFrame,
+                                   id_col: str = "doc_id",
+                                   num_hashes: int = 64) -> DataFrame:
+    """(id, sig array<bigint>) — MinHash signatures from a
+    hashed_shingle_sets frame.  The Python side only concatenates the
+    batch's hash arrays, derives each hash family with a splitmix remix of
+    the base hash, and takes per-document minima with np.minimum.reduceat
+    over the contiguous per-doc segments (an order of magnitude faster
+    than the unbuffered np.minimum.at scatter)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,13 +125,19 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                     sig[nz, h] = np.minimum.reduceat(half, starts_nz)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sig)})
 
-    id_type = dict(df.dtypes)[id_col]
-    shingled = widen(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)),
-            lambda s: F.xxhash64(s)).alias("__shash"))
-    return shingled.mapInPandas(run, f"{id_col} {id_type}, sig array<bigint>")
+    id_type = dict(hs_df.dtypes)[id_col]
+    return hs_df.select(id_col, "__shash").mapInPandas(
+        run, f"{id_col} {id_type}, sig array<bigint>")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<bigint>) — MinHash signature over word-shingle sets
+    (hashed_shingle_sets -> minhash_signatures_from_hashes)."""
+    return minhash_signatures_from_hashes(
+        hashed_shingle_sets(df, id_col, text_col, shingle_n),
+        id_col, num_hashes)
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -164,35 +200,30 @@ def verified_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """(a, b, jacc_pct) — near-duplicate pairs with exact shingle-set Jaccard
     >= threshold.  MinHash+LSH prunes the O(N^2) space; the exact JVM-side
     verification join removes LSH false positives entirely (emitted pairs
-    are exact), leaving recall as the only approximation."""
-    # cache: signatures feed both the band join and the est-filter lookup;
-    # recomputing the python MinHash pass would double the dominant cost
-    # (tiny state: H longs per doc; LRU-evictable)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
-    # estimate cut 4-5σ under the exact threshold (σ ≤ 1/(2√H)): prunes
-    # low-similarity band collisions, keeps true-pair loss < 1e-6
-    est_cut = max(0.0, threshold - 2.5 / math.sqrt(num_hashes))
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows,
-                                min_est_jaccard=est_cut)
-    # widen BEFORE shingling (a single-file input would otherwise compute
-    # every shingle set in one task — measured 5x wall on 32 cores), and
-    # persist: both sides of the verification join read the same sets
-    shset = widen(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.array_distinct(shingles_col(tokens_col(text_col), shingle_n)).alias("sh"),
-    ).persist()
-    a = shset.alias("sa")
-    b = shset.alias("sb")
+    are exact), leaving recall as the only approximation.
+
+    One-pass layout (round-2 verdict finding #2): shingling + hashing run
+    ONCE (hashed_shingle_sets, persisted — the caller can free it via
+    release()).  Signatures derive from the hash sets, the band self-join
+    carries only (id, band, band_hash), and verification intersects the
+    SAME persisted int64 hash sets — no second shingling pass, no
+    signature re-join, no string-array intersections."""
+    hs = hashed_shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sigs = minhash_signatures_from_hashes(hs, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    a = hs.select(F.col(id_col).alias("a"), F.col("__shash").alias("ha"))
+    b = hs.select(F.col(id_col).alias("b"), F.col("__shash").alias("hb"))
     joined = (
-        cands.join(a, cands["a"] == F.col(f"sa.{id_col}"))
-        .join(b, cands["b"] == F.col(f"sb.{id_col}"))
-        .withColumn("inter", F.size(F.array_intersect("sa.sh", "sb.sh")))
-        .withColumn("uni", F.size(F.array_union("sa.sh", "sb.sh")))
+        cands.join(a, "a").join(b, "b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+        .withColumn("uni", F.size("ha") + F.size("hb") - F.col("inter"))
         .withColumn("jacc", F.col("inter") / F.col("uni"))
         .where(F.col("jacc") >= threshold)
     )
-    return joined.select(
-        "a", "b", F.round(F.col("jacc") * 100).cast("int").alias("jacc_pct"))
+    return _attach(
+        joined.select("a", "b",
+                      F.round(F.col("jacc") * 100).cast("int").alias("jacc_pct")),
+        [hs])
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -260,10 +291,11 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # expressions 3x (measured ~4s each at sf0.1 vs ~1s once).  At real
     # scale this materialization is the standard "build the inverted
     # index once" step (checkpoint it if it exceeds cluster cache).
-    shset = widen(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(tokens_col(text_col), shingle_n))
-        .alias("sh")).persist()
+    # Index keys are the xxhash64 shingle hashes (hashed_shingle_sets):
+    # int64 join keys shuffle and compare far cheaper than shingle strings,
+    # with the same negligible-collision caveat documented there.
+    shset = hashed_shingle_sets(df, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), F.col("__shash").alias("sh")).persist()
     sizes = shset.select("id", F.size("sh").alias("n"))
     e = shset.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
@@ -276,13 +308,15 @@ def exact_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
              .groupBy("a", "b").agg(F.count("*").alias("i")))
     # sizes is one row per DOC (data-scale) — no broadcast hint; these are
     # key-partitioned shuffle joins, and AQE may still broadcast at small SF
-    return (inter
-            .join(sizes.select(F.col("id").alias("a"),
-                               F.col("n").alias("na")), "a")
-            .join(sizes.select(F.col("id").alias("b"),
-                               F.col("n").alias("nb")), "b")
-            .withColumn("jacc",
-                        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-            .where(F.col("jacc") >= threshold)
-            .select("a", "b",
-                    F.round(F.col("jacc") * 100).cast("int").alias("jacc_pct")))
+    return _attach(
+        (inter
+         .join(sizes.select(F.col("id").alias("a"),
+                            F.col("n").alias("na")), "a")
+         .join(sizes.select(F.col("id").alias("b"),
+                            F.col("n").alias("nb")), "b")
+         .withColumn("jacc",
+                     F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+         .where(F.col("jacc") >= threshold)
+         .select("a", "b",
+                 F.round(F.col("jacc") * 100).cast("int").alias("jacc_pct"))),
+        [shset])

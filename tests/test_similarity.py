@@ -94,6 +94,66 @@ def test_lsh_pairs_subset_and_recall(spark):
     assert exact_hi <= got              # planted near-dups all recalled
 
 
+def test_ivf_probe_partition_prunes(spark, tmp_path):
+    """ivf_topk over a materialized index must read ONLY the probed bucket
+    partitions: the bucket filter reaches the scan as a PartitionFilter and
+    the files actually listed all belong to probed buckets — no query-time
+    ivf_assign over the corpus (round-2 verdict finding #1)."""
+    from sketchlib.similarity import (ivf_build, ivf_read, ivf_topk,
+                                      train_centroids)
+
+    df, _ = _rand_embeddings(spark, n=400)
+    cent = train_centroids(df, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    ivf_build(df, cent, path)
+    index = ivf_read(spark, path)
+    queries = df.where(F.col("vec_id") < 4)
+    nprobe = 2
+    res = ivf_topk(index, queries, cent, k=3, nprobe=nprobe)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # no assignment stage at query time: exactly ONE python map (the local
+    # top-k), not two (assign + topk)
+    assert plan.count("MapInPandas (") == 1  # tree line; details repeat the name
+
+    # runtime check: the pruned scan lists only files under probed buckets
+    rows = queries.select("vec_id", "embedding").collect()
+    qmat = np.array([list(r["embedding"]) for r in rows], np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    wanted = {int(b) for row in probe for b in row}
+    files = {r[0] for r in index.where(F.col("bucket").isin(sorted(wanted)))
+             .select(F.input_file_name()).distinct().collect()}
+    got_buckets = {int(f.split("bucket=")[1].split("/")[0]) for f in files}
+    assert got_buckets <= wanted and len(got_buckets) > 0
+    n_all_buckets = index.select("bucket").distinct().count()
+    assert len(wanted) < n_all_buckets  # the probe genuinely prunes
+
+
+def test_ivf_full_probe_equals_exact(spark, tmp_path):
+    """With nprobe = n_centroids (probe everything) the IVF result must
+    equal exact brute-force top-k — the index is lossless, only the probe
+    set is approximate."""
+    from sketchlib.similarity import (cosine_topk, ivf_build, ivf_read,
+                                      ivf_topk, train_centroids)
+
+    df, _ = _rand_embeddings(spark, n=300)
+    cent = train_centroids(df, n_centroids=6)
+    path = str(tmp_path / "ivf")
+    index = ivf_read(spark, ivf_build(df, cent, path))
+    queries = df.where(F.col("vec_id") < 5)
+    exact = {(r["q_id"], r["rnk"], r["neighbor_id"])
+             for r in cosine_topk(df, queries, k=4).collect()}
+    full = {(r["q_id"], r["rnk"], r["neighbor_id"])
+            for r in ivf_topk(index, queries, cent, k=4, nprobe=6).collect()}
+    assert full == exact
+
+
 def test_srp_signatures_partitioning_invariant(spark):
     """Signatures are a pure function of (vector, seed) — identical under
     any physical partitioning (planes regenerated from seed per task)."""
