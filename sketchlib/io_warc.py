@@ -31,7 +31,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["synth_warc_bytes", "parse_warc_bytes", "read_warc", "write_wet"]
+__all__ = ["synth_warc_bytes", "parse_warc_bytes", "read_warc", "write_warc",
+           "write_wet"]
 
 _CRLF = b"\r\n"
 
@@ -115,6 +116,48 @@ def write_wet(df: DataFrame, path: str, text_col: str = "text") -> int:
                              (text or "").encode("utf-8")))
         if recs:
             with open(os.path.join(path, f"part-{pid:05d}.wet"), "wb") as f:
+                f.write(synth_warc_bytes(recs))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    counts = sel.mapInPandas(write_part, "n long").collect()
+    return sum(int(r["n"]) for r in counts)
+
+
+def write_warc(df: DataFrame, path: str, shards: int | None = None,
+               html_col: str = "html") -> int:
+    """Distributed WARC sink: executors serialize their partition's pages
+    into one .warc file each (proper ISO 28500 record framing via
+    synth_warc_bytes), so a crawl re-shard never materializes the corpus
+    on the driver — the write side of the Common-Crawl one-file-per-task
+    model that read_warc consumes.  ``shards`` repartitions first (round
+    robin) to pick the output file count; records are framed in url order
+    within a shard for deterministic bytes.  Returns records written.
+
+    Round-trips byte-exactly with read_warc (gated by warc_ingest and
+    tests/test_io_warc.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    sel = df.select(
+        F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("__d"),
+        F.col(html_col).alias("__h"))
+    if shards is not None:
+        sel = sel.repartition(shards)
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            for url, date, payload in zip(pdf["url"], pdf["__d"], pdf["__h"]):
+                recs.append((url, date, bytes(payload)))
+        if recs:
+            recs.sort(key=lambda r: r[0])
+            with open(os.path.join(path, f"part-{pid:05d}.warc"), "wb") as f:
                 f.write(synth_warc_bytes(recs))
         yield pd.DataFrame({"n": [len(recs)]})
 

@@ -285,21 +285,26 @@ SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS ok
 FROM events GROUP BY event_type
 """)
 def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group HLL via the two-phase salted aggregation path."""
+    """Per-group HLL via the two-phase salted aggregation path.  Bound
+    check is the scale-shape pattern (kll_doclen_by_lang): only the tiny
+    per-group estimates reach the driver, then ONE distributed exact pass
+    joins them back broadcast — no per-group jobs, no exact-counts
+    collect."""
     ev = _t(spark, sf_dir, "events")
     grouped = sketch_grouped(ev, ["event_type"], "user_id", hll_spec(p=13),
                              salt_buckets=8)
-    exact = {r["event_type"]: r["c"] for r in
-             ev.groupBy("event_type").agg(
-                 F.countDistinct("user_id").alias("c")).collect()}
-    rows = []
-    for r in grouped.collect():
-        est = HLL.cardinality(HLL.deserialize(bytes(r["state"])))
-        true = exact[r["event_type"]]
-        tol = max(5 * 1.04 / math.sqrt(2**13) * true, 3)
-        rows.append((r["event_type"], int(true), bool(abs(est - true) <= tol)))
-    return spark.createDataFrame(rows,
-                                 "event_type string, exact_users long, ok boolean")
+    ests = [(r["event_type"],
+             float(HLL.cardinality(HLL.deserialize(bytes(r["state"])))))
+            for r in grouped.collect()]  # one tiny row per group
+    est_df = spark.createDataFrame(ests, "event_type string, est double")
+    rel = 5 * 1.04 / math.sqrt(2**13)
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .join(F.broadcast(est_df), "event_type")
+            .select("event_type", F.col("exact_users").cast("long"),
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= F.greatest(F.lit(rel) * F.col("exact_users"),
+                                   F.lit(3.0))).alias("ok")))
 
 
 # ---------------------------------------------------------------------------
@@ -476,20 +481,24 @@ GROUP BY l_returnflag
 def kll_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP quantiles: one KLL sketch per l_returnflag through the
     salted two-phase aggregation; each group's median is rank-checked
-    against its own exact distribution."""
+    against its own exact distribution — tiny medians broadcast into ONE
+    grouped rank pass (the kll_doclen_by_lang pattern), not a count() job
+    per group."""
     li = _t(spark, sf_dir, "lineitem")
     grouped = sketch_grouped(li, ["l_returnflag"], "l_extendedprice",
                              kll_spec(k=200), salt_buckets=8)
-    totals = {r["l_returnflag"]: r["c"] for r in
-              li.groupBy("l_returnflag").agg(F.count("*").alias("c")).collect()}
-    rows = []
-    for r in grouped.collect():
-        flag = r["l_returnflag"]
-        med = float(KLL.quantile(KLL.deserialize(bytes(r["state"])), [0.5])[0])
-        rank = li.where((F.col("l_returnflag") == flag)
-                        & (F.col("l_extendedprice") <= med)).count() / totals[flag]
-        rows.append((flag, bool(abs(rank - 0.5) <= 0.02)))
-    return spark.createDataFrame(rows, "l_returnflag string, median_ok boolean")
+    meds = [(r["l_returnflag"],
+             float(KLL.quantile(KLL.deserialize(bytes(r["state"])), [0.5])[0]))
+            for r in grouped.collect()]  # one tiny row per flag
+    med_df = spark.createDataFrame(meds, "l_returnflag string, med double")
+    ranked = (li.join(F.broadcast(med_df), "l_returnflag")
+              .groupBy("l_returnflag")
+              .agg(F.count("*").alias("n"),
+                   F.sum((F.col("l_extendedprice") <= F.col("med"))
+                         .cast("long")).alias("below")))
+    return ranked.select(
+        "l_returnflag",
+        (F.abs(F.col("below") / F.col("n") - 0.5) <= 0.02).alias("median_ok"))
 
 
 @register("tdigest_value_quantiles", f"""
@@ -947,27 +956,24 @@ FROM webpages
 """)
 def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round trip — the crawl-archive source format:
-    serialize every page into multi-record .warc files, re-ingest them
-    with read_warc (one file = one framing task, the Common-Crawl
-    sharding model), and verify per url that the payload survived
-    byte-exactly (extracted text == original text, html length matches
-    the oracle's independent reconstruction of the page bytes)."""
+    the DISTRIBUTED sink (write_warc: executors frame and write one .warc
+    shard per partition, no driver-side corpus materialization) re-shards
+    every page into multi-record .warc files; read_warc re-ingests them
+    (one file = one framing task, the Common-Crawl sharding model); the
+    gate verifies per url that the payload survived byte-exactly
+    (extracted text == original text, html length matches the oracle's
+    independent reconstruction of the page bytes).  Only the tiny
+    3-column verdict table is collected (the tempdir must outlive the
+    scan)."""
+    import shutil
     import tempfile
-    from collections import defaultdict
 
-    from .io_warc import read_warc, synth_warc_bytes
+    from .io_warc import read_warc, write_warc
 
     wp = webpages(spark, sf_dir)
-    src = wp.select("url", "warc_ts", "html", "text").collect()
-    with tempfile.TemporaryDirectory() as tmp:
-        buckets = defaultdict(list)
-        for i, r in enumerate(sorted(src, key=lambda r: r["url"])):
-            buckets[i % 8].append(
-                (r["url"], r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
-                 bytes(r["html"])))
-        for b, recs in buckets.items():
-            with open(f"{tmp}/{b:03d}.warc", "wb") as f:
-                f.write(synth_warc_bytes(recs))
+    tmp = tempfile.mkdtemp(prefix="warc_ingest_")
+    try:
+        write_warc(wp.select("url", "warc_ts", "html"), tmp, shards=8)
         ingested = read_warc(spark, tmp)
         out = (ingested
                .join(wp.select("url", "text"), "url")
@@ -975,7 +981,9 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.length("html").cast("long").alias("n_bytes"),
                        (extracted_text_col(F.col("html")) == F.col("text"))
                        .alias("extract_ok"))
-               .collect())  # materialize before the tempdir vanishes
+               .collect())  # verdict rows only, before the tempdir vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(out, "url string, n_bytes long, extract_ok boolean")
 
 
@@ -1396,22 +1404,24 @@ FROM webpages GROUP BY host_id
 def webtext_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host distinct-url counts on the deliberately skewed host column
     (host 0 = 40% of pages) through the salted two-phase HLL path — the
-    north_rule's host-domain-skew defusal, gated against exact counts."""
+    north_rule's host-domain-skew defusal, gated against exact counts.
+    Tiny estimates broadcast back into ONE distributed exact pass (no
+    per-group jobs, no exact-counts collect)."""
     wp = webpages(spark, sf_dir)
     grouped = sketch_grouped(wp, ["host_id"], "url", hll_spec(p=13),
                              salt_buckets=8)
-    exact = {r["host_id"]: r["c"] for r in
-             wp.groupBy("host_id").agg(
-                 F.countDistinct("url").alias("c")).collect()}
-    rows = []
-    for r in grouped.collect():
-        est = HLL.cardinality(HLL.deserialize(bytes(r["state"])))
-        true = exact[r["host_id"]]
-        tol = max(5 * 1.04 / math.sqrt(2**13) * true, 3)
-        rows.append((int(r["host_id"]), int(true),
-                     bool(abs(est - true) <= tol)))
-    return spark.createDataFrame(rows,
-                                 "host_id long, exact_urls long, ok boolean")
+    ests = [(int(r["host_id"]),
+             float(HLL.cardinality(HLL.deserialize(bytes(r["state"])))))
+            for r in grouped.collect()]  # one tiny row per host
+    est_df = spark.createDataFrame(ests, "host_id long, est double")
+    rel = 5 * 1.04 / math.sqrt(2**13)
+    return (wp.groupBy(F.col("host_id").cast("long").alias("host_id"))
+            .agg(F.countDistinct("url").alias("exact_urls"))
+            .join(F.broadcast(est_df), "host_id")
+            .select("host_id", F.col("exact_urls").cast("long"),
+                    (F.abs(F.col("est") - F.col("exact_urls"))
+                     <= F.greatest(F.lit(rel) * F.col("exact_urls"),
+                                   F.lit(3.0))).alias("ok")))
 
 
 @register("webtext_shingle_bloom", f"""
@@ -1425,23 +1435,40 @@ sh AS (
          ELSE [array_to_string(toks, ' ')] END AS shset
   FROM l
 )
-SELECT COUNT(DISTINCT s)::BIGINT AS n_shingles, TRUE AS fn_ok
-FROM (SELECT unnest(shset) AS s FROM sh)
+SELECT SUM(len(shset))::BIGINT AS n_shingle_rows, TRUE AS fn_ok
+FROM sh
 """)
 def webtext_shingle_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-shingle membership sketch (north_star: "url/text-shingle
-    membership"): Bloom over all distinct 3-gram shingles of the crawl;
-    probing every shingle back must produce zero false negatives."""
+    membership"): Bloom over every document's distinct 3-gram shingles;
+    probing them all back must produce zero false negatives.
+
+    Sized WITHOUT any counting pre-pass: distinct shingles <= total
+    shingles <= total tokens <= Σ⌈n_chars/2⌉, and Σ n_chars is bounded
+    from parquet FOOTER metadata alone (stats.table_column_sum_upper —
+    rows × max per row group, no data pages, no job).  The filter is
+    oversized by the bound's looseness (max/mean of doc length × shingle
+    duplication, ~10-50x here) which only tightens FPP; memory is the
+    price, the dropped full-corpus distinct+cache pre-pass is the win.
+    At real scale an Iceberg column-stat SUM or a prior crawl's HLL
+    tightens the bound.  No global distinct anywhere: the build and the
+    FN probe stream per-doc-distinct shingles (Σ len(shset) rows, shuffle-
+    free on both sides)."""
+    from .stats import table_column_sum_upper
+
     wp = webpages(spark, sf_dir)
+    n_upper = max(64, table_column_sum_upper(sf_dir, "documents",
+                                             "n_chars") // 2)
     sh = wp.select(
-        F.explode(shingles_col(tokens_col("text"), 3)).alias("s")).distinct().cache()
-    n = sh.count()
-    res = build_sketch(sh, "s", bloom_spec(n, 0.01))
-    fn_cnt = sh.where(
-        ~bloom_contains_col(spark, res.state_bytes, F.col("s"))).count()
-    sh.unpersist()
-    return spark.createDataFrame([(n, fn_cnt == 0)],
-                                 "n_shingles long, fn_ok boolean")
+        F.explode(F.array_distinct(shingles_col(tokens_col("text"), 3)))
+        .alias("s"))
+    res = build_sketch(sh, "s", bloom_spec(n_upper, 0.01))
+    agg = sh.agg(
+        F.count("*").alias("n"),
+        F.sum((~bloom_contains_col(spark, res.state_bytes, F.col("s")))
+              .cast("long")).alias("fn_cnt")).collect()[0]
+    return spark.createDataFrame([(int(agg["n"]), int(agg["fn_cnt"]) == 0)],
+                                 "n_shingle_rows long, fn_ok boolean")
 
 
 @register("webtext_url_parts", f"""

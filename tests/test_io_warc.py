@@ -51,6 +51,61 @@ def test_read_warc_spark(spark, tmp_path):
     assert bytes(one["html"]) == b"<p>doc 2-3</p>"
 
 
+def test_write_warc_distributed_round_trip(spark, sf_smoke, tmp_path):
+    """The distributed WARC sink: executors write one properly-framed
+    .warc shard per partition (no driver-side corpus collect); reading the
+    shards back yields byte-identical html per url, and the shard count
+    follows the requested re-shard."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.io_warc import write_warc
+    from sketchlib.webtext import webpages
+
+    wp = webpages(spark, str(sf_smoke)).select("url", "warc_ts", "html")
+    out = str(tmp_path / "warc")
+    n = write_warc(wp, out, shards=4)
+    assert n == wp.count()
+    files = [f for f in os.listdir(out) if f.endswith(".warc")]
+    assert 1 <= len(files) <= 4  # <= shards (empty partitions write nothing)
+    back = read_warc(spark, out)
+    joined = wp.select("url", F.md5(F.col("html").cast("string")).alias("h1"),
+                       F.col("warc_ts").alias("ts1")) \
+        .join(back.select("url", F.md5(F.col("html").cast("string")).alias("h2"),
+                          F.col("warc_ts").alias("ts2")), "url")
+    assert joined.count() == n
+    assert joined.where(F.col("h1") != F.col("h2")).count() == 0
+    assert joined.where(F.col("ts1") != F.col("ts2")).count() == 0
+
+
+def test_write_warc_no_driver_collect(spark, sf_smoke, tmp_path, monkeypatch):
+    """The sink must never pull row data to the driver (its count comes
+    from a tiny per-partition tally, monkeypatched collect would catch any
+    corpus materialization).  Only DataFrame.collect on the tally frame is
+    expected — assert it receives one row per partition, not per record."""
+    from pyspark.sql import functions as F
+    # patch the CLASSIC subclass: pyspark.sql.DataFrame is an abstract base
+    # in Spark 4 and patching it intercepts nothing (found the hard way)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from sketchlib.io_warc import write_warc
+    from sketchlib.webtext import webpages
+
+    wp = webpages(spark, str(sf_smoke)).select("url", "warc_ts", "html")
+    n_rows = wp.count()
+    seen = []
+    orig = DataFrame.collect
+
+    def spy(self, *a, **k):
+        rows = orig(self, *a, **k)
+        seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    write_warc(wp, str(tmp_path / "w"), shards=4)
+    assert seen and all(c <= 4 for c in seen)  # tally rows, never the corpus
+    assert n_rows > 4
+
+
 def test_wet_sink_round_trips(spark, sf_smoke, tmp_path):
     """WARC-in -> extract -> WET-out -> read back: extracted text survives
     byte-identically through the archive sink (the Common-Crawl WET

@@ -48,16 +48,33 @@ def test_cosine_pairs_matches_bruteforce(spark):
 
 def test_cosine_pairs_no_driver_collect(spark, monkeypatch):
     """The exact path is distributed end to end: executing it must not pull
-    any DataFrame to the driver (round-1 verdict finding #1)."""
+    any DataFrame to the driver (round-1 verdict finding #1).
+
+    Patches the CLASSIC DataFrame subclass — in Spark 4
+    pyspark.sql.DataFrame is an abstract base whose methods the runtime
+    class overrides, so patching the base intercepts nothing (this test
+    was vacuous until round 3; verified the patched method now fires by
+    self-test below)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
     df, _ = _rand_embeddings(spark, n=200)
 
-    def boom(self, *a, **k):  # pragma: no cover - should never run
+    calls = []
+
+    def boom(self, *a, **k):
+        calls.append(1)
         raise AssertionError("driver-side collect inside cosine_pairs")
 
-    monkeypatch.setattr(DataFrame, "collect", boom)
-    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(ClassicDF, "collect", boom)
+    monkeypatch.setattr(ClassicDF, "toPandas", boom)
+    # self-test: the patch must actually intercept, or the guard is vacuous
+    with pytest.raises(AssertionError):
+        df.limit(1).collect()
+    assert calls
+    calls.clear()
     pairs = cosine_pairs(df, 0.6)
     assert pairs.count() > 0  # count() is the driver's one scalar, not rows
+    assert not calls
 
 
 def test_cosine_pairs_only_broadcast_is_cell_map(spark, sf_test):
