@@ -193,11 +193,13 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
                 continue
             t0 = time.perf_counter()
             res = fn(spark, sf_dir)
-            _force(res)
+            try:
+                _force(res)
+            finally:
+                release(res)  # free attached operator caches even on error
             dt = time.perf_counter() - t0
             timings[name] = round(dt, 3)
             total += dt
-            release(res)  # free caches the operator attached (dedup paths)
 
     extras = sketch_build_throughput(spark, sf_dir)
     extras.update(grouped_state_bytes(spark, sf_dir))

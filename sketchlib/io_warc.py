@@ -36,6 +36,28 @@ __all__ = ["synth_warc_bytes", "parse_warc_bytes", "read_warc", "write_warc",
 
 _CRLF = b"\r\n"
 
+_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def _utc_date_str(ts_col):
+    """Render a timestamp instant as its UTC wall-clock string (the 'Z'
+    suffix is then truthful per ISO 28500).  date_format alone renders in
+    the SESSION time zone — with a non-UTC session that would emit shifted
+    timestamps under a Z suffix that external WARC consumers trust."""
+    from pyspark.sql import functions as F
+
+    return F.date_format(
+        F.to_utc_timestamp(ts_col, F.current_timezone()), _DATE_FMT)
+
+
+def _utc_date_parse(str_col):
+    """Inverse of _utc_date_str: interpret the archived wall string as UTC
+    regardless of the reader session's time zone."""
+    from pyspark.sql import functions as F
+
+    return F.from_utc_timestamp(F.to_timestamp(str_col, _DATE_FMT),
+                                F.current_timezone())
+
 
 def synth_warc_bytes(records: list[tuple[str, str, bytes]]) -> bytes:
     """Serialize (url, iso_date, payload) triples as a valid WARC stream —
@@ -102,7 +124,7 @@ def write_wet(df: DataFrame, path: str, text_col: str = "text") -> int:
     os.makedirs(path, exist_ok=True)
     sel = df.select(
         F.col("url"),
-        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("__d"),
+        _utc_date_str(F.col("warc_ts")).alias("__d"),
         F.col(text_col).alias("__t"))
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,7 +164,7 @@ def write_warc(df: DataFrame, path: str, shards: int | None = None,
     os.makedirs(path, exist_ok=True)
     sel = df.select(
         F.col("url"),
-        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("__d"),
+        _utc_date_str(F.col("warc_ts")).alias("__d"),
         F.col(html_col).alias("__h"))
     if shards is not None:
         sel = sel.repartition(shards)
@@ -182,11 +204,11 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame({"url": urls, "warc_date": dates,
                                 "html": payloads})
 
-    framed = files.select("content").mapInPandas(
-        frame, "url string, warc_date string, html binary")
     from pyspark.sql import functions as F
 
+    framed = files.select("content").mapInPandas(
+        frame, "url string, warc_date string, html binary")
     return framed.select(
         "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        _utc_date_parse(F.col("warc_date")).alias("warc_ts"),
         "html")

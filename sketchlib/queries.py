@@ -298,13 +298,20 @@ def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in grouped.collect()]  # one tiny row per group
     est_df = spark.createDataFrame(ests, "event_type string, est double")
     rel = 5 * 1.04 / math.sqrt(2**13)
+    # FULL outer: a sketch-side phantom group (or a group the sketch path
+    # lost) must surface as a row with a NULL side -> ok=false / oracle
+    # row-count mismatch, never be silently dropped by an inner join.
+    # No broadcast hint: Spark can't broadcast-build a full outer, and
+    # both sides are already group-sized so the join is trivial anyway.
     return (ev.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("exact_users"))
-            .join(F.broadcast(est_df), "event_type")
+            .join(est_df, "event_type", "full_outer")
             .select("event_type", F.col("exact_users").cast("long"),
-                    (F.abs(F.col("est") - F.col("exact_users"))
-                     <= F.greatest(F.lit(rel) * F.col("exact_users"),
-                                   F.lit(3.0))).alias("ok")))
+                    (F.col("est").isNotNull()
+                     & F.col("exact_users").isNotNull()
+                     & (F.abs(F.col("est") - F.col("exact_users"))
+                        <= F.greatest(F.lit(rel) * F.col("exact_users"),
+                                      F.lit(3.0)))).alias("ok")))
 
 
 # ---------------------------------------------------------------------------
@@ -491,14 +498,20 @@ def kll_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
              float(KLL.quantile(KLL.deserialize(bytes(r["state"])), [0.5])[0]))
             for r in grouped.collect()]  # one tiny row per flag
     med_df = spark.createDataFrame(meds, "l_returnflag string, med double")
-    ranked = (li.join(F.broadcast(med_df), "l_returnflag")
+    # LEFT join from the data side + null-guarded check: a flag the sketch
+    # path lost shows up as median_ok=false, not as a dropped row; a
+    # phantom sketch flag has no data rows and surfaces as an oracle
+    # row-count mismatch if it ever joined
+    ranked = (li.join(F.broadcast(med_df), "l_returnflag", "left")
               .groupBy("l_returnflag")
               .agg(F.count("*").alias("n"),
                    F.sum((F.col("l_extendedprice") <= F.col("med"))
                          .cast("long")).alias("below")))
     return ranked.select(
         "l_returnflag",
-        (F.abs(F.col("below") / F.col("n") - 0.5) <= 0.02).alias("median_ok"))
+        (F.col("below").isNotNull()
+         & (F.abs(F.col("below") / F.col("n") - 0.5) <= 0.02))
+        .alias("median_ok"))
 
 
 @register("tdigest_value_quantiles", f"""
@@ -1415,13 +1428,16 @@ def webtext_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in grouped.collect()]  # one tiny row per host
     est_df = spark.createDataFrame(ests, "host_id long, est double")
     rel = 5 * 1.04 / math.sqrt(2**13)
+    # FULL outer so a lost or phantom host fails loudly (see hll_users_by_type)
     return (wp.groupBy(F.col("host_id").cast("long").alias("host_id"))
             .agg(F.countDistinct("url").alias("exact_urls"))
-            .join(F.broadcast(est_df), "host_id")
+            .join(est_df, "host_id", "full_outer")
             .select("host_id", F.col("exact_urls").cast("long"),
-                    (F.abs(F.col("est") - F.col("exact_urls"))
-                     <= F.greatest(F.lit(rel) * F.col("exact_urls"),
-                                   F.lit(3.0))).alias("ok")))
+                    (F.col("est").isNotNull()
+                     & F.col("exact_urls").isNotNull()
+                     & (F.abs(F.col("est") - F.col("exact_urls"))
+                        <= F.greatest(F.lit(rel) * F.col("exact_urls"),
+                                      F.lit(3.0)))).alias("ok")))
 
 
 @register("webtext_shingle_bloom", f"""

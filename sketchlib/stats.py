@@ -45,14 +45,16 @@ def parquet_column_sum_upper(path: str, column: str) -> int:
     fallback that needs nothing but the footer."""
     import pyarrow.dataset as ds
 
-    total = 0
     dataset = ds.dataset(path, format="parquet")
+    if column not in dataset.schema.names:
+        raise KeyError(f"column {column!r} not in parquet schema")
+    total = 0
     for frag in dataset.get_fragments():
         md = frag.metadata
+        if md.num_row_groups == 0:  # empty part file: contributes nothing
+            continue
         names = {md.row_group(0).column(i).path_in_schema: i
-                 for i in range(md.row_group(0).num_columns)} if md.num_row_groups else {}
-        if column not in names:
-            raise KeyError(f"column {column!r} not in parquet footer")
+                 for i in range(md.row_group(0).num_columns)}
         ci = names[column]
         for g in range(md.num_row_groups):
             rg = md.row_group(g)

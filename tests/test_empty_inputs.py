@@ -81,3 +81,53 @@ def test_kll_quantile_of_empty():
 
     st = KLL.create(50)
     assert np.isnan(KLL.quantile(st, [0.5])).all()
+
+
+def test_write_warc_over_empty(spark, tmp_path):
+    """An empty crawl writes no shards and reports zero records; reading
+    the (empty) sink directory yields an empty frame, not a crash."""
+    import os
+
+    from sketchlib.io_warc import write_warc
+
+    empty_wp = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "w")
+    assert write_warc(empty_wp, out, shards=4) == 0
+    assert not [f for f in os.listdir(out) if f.endswith(".warc")]
+
+
+def test_ivf_build_empty_buckets_probe_ok(spark, tmp_path):
+    """Probing buckets with no materialized partition (nothing was
+    assigned there) must return results from the populated buckets only —
+    partition pruning over a sparse index never errors."""
+    import numpy as np
+
+    from sketchlib.similarity import ivf_build, ivf_read, ivf_topk
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]  # one cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = np.eye(4)  # 3 of 4 centroids get no vectors
+    path = str(tmp_path / "ivf")
+    index = ivf_read(spark, ivf_build(df, cent, path))
+    q = df.where(F.col("vec_id") < 2)
+    got = ivf_topk(index, q, cent, k=3, nprobe=4).collect()
+    assert {r["q_id"] for r in got} == {0, 1}
+    assert all(r["sim"] > 0.99 for r in got)
+
+
+def test_hashed_shingle_sets_empty_and_blank_docs(spark):
+    """Zero-row input and whitespace-only documents both flow through the
+    one-pass shingle pipeline (blank doc -> one empty-string shingle set,
+    matching the oracle's CASE fallback)."""
+    from sketchlib.dedup import hashed_shingle_sets, minhash_signatures_from_hashes
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert hashed_shingle_sets(empty_docs).count() == 0
+    assert minhash_signatures_from_hashes(
+        hashed_shingle_sets(empty_docs)).count() == 0
+    blank = spark.createDataFrame([(1, "   "), (2, "one two")],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: len(r["__shash"])
+           for r in hashed_shingle_sets(blank).collect()}
+    assert got == {1: 1, 2: 1}  # <3 tokens -> single whole-text shingle

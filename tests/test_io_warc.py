@@ -77,6 +77,36 @@ def test_write_warc_distributed_round_trip(spark, sf_smoke, tmp_path):
     assert joined.where(F.col("ts1") != F.col("ts2")).count() == 0
 
 
+def test_warc_dates_utc_under_any_session_tz(spark, tmp_path):
+    """WARC-Date carries a 'Z' suffix, so the rendered wall time must be
+    UTC no matter the session time zone — and the round trip must return
+    the same instant.  (date_format alone renders in session TZ; with
+    e.g. America/New_York that shifted every archived timestamp by 5h
+    under a suffix external consumers trust.)"""
+    from pyspark.sql import functions as F
+
+    from sketchlib.io_warc import write_warc
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/", "2024-06-01 12:34:56", b"<p>x</p>")],
+        "url string, s string, html binary").select(
+        "url", F.to_utc_timestamp(F.to_timestamp("s"), "UTC").alias("warc_ts"),
+        "html")
+    instant = df.collect()[0]["warc_ts"]
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = str(tmp_path / "tzwarc")
+        write_warc(df, out)
+        raw = b"".join(open(os.path.join(out, f), "rb").read()
+                       for f in sorted(os.listdir(out)))
+        assert b"WARC-Date: 2024-06-01T12:34:56Z" in raw  # UTC wall, not EDT
+        back = read_warc(spark, out).collect()[0]["warc_ts"]
+        assert back == instant
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_write_warc_no_driver_collect(spark, sf_smoke, tmp_path, monkeypatch):
     """The sink must never pull row data to the driver (its count comes
     from a tiny per-partition tally, monkeypatched collect would catch any
