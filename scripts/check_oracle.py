@@ -41,6 +41,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
 
+    from sketchlib.dedup import release
     from sketchlib.session import get_spark
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
 
@@ -59,7 +60,10 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            try:
+                srows = [tuple(r) for r in sdf.collect()]
+            finally:
+                release(sdf)  # free caches the operator attached
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
