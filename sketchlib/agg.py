@@ -774,16 +774,45 @@ def _sketch_grouped_local(df: DataFrame, group_cols: list[str],
 # probe-side vectorized UDFs (O6 at scale: broadcast state, column probe)
 # ---------------------------------------------------------------------------
 
+#: executor-local deserialized-state memo for the probe UDFs below.  The
+#: python worker's broadcast registry returns the SAME bytes object for a
+#: broadcast across all tasks of a worker process, and CPython bytes cache
+#: their hash after the first call — so the key costs one full pass over
+#: the blob per worker process and O(1) after, and each state deserializes
+#: ONCE per worker instead of once per Arrow batch (round-3 verdict
+#: finding #2: probe cost should be state-size-insensitive).  Sketch
+#: states are immutable under probes (contains/estimate never write), so
+#: sharing one deserialized object across batches is safe.  Bounded LRU:
+#: long sessions probing many states evict oldest-first.
+_PROBE_MEMO: dict = {}
+_PROBE_MEMO_MAX = 8
+_probe_memo_deserializes = 0  # test hook: counts actual deserialize calls
+
+
+def _memo_deserialize(ops, buf: bytes):
+    global _probe_memo_deserializes
+    key = (ops.name, len(buf), hash(buf))
+    state = _PROBE_MEMO.get(key)
+    if state is None:
+        state = ops.deserialize(buf)
+        _probe_memo_deserializes += 1
+        _PROBE_MEMO[key] = state
+        while len(_PROBE_MEMO) > _PROBE_MEMO_MAX:  # dicts iterate in
+            del _PROBE_MEMO[next(iter(_PROBE_MEMO))]  # insertion order
+    return state
+
+
 def bloom_contains_col(spark, state_bytes: bytes, col):
     """BooleanType column: membership probe against a broadcast Bloom state.
     The blob ships once per executor (Spark broadcast); each Arrow batch is
-    probed whole-column."""
+    probed whole-column against the memoized deserialized state."""
     bc = spark.sparkContext.broadcast(state_bytes)
 
     @F.pandas_udf(BooleanType())
     def probe(series: pd.Series) -> pd.Series:
+        from .agg import _memo_deserialize
         from .sketch import BLOOM
-        state = BLOOM.deserialize(bc.value)
+        state = _memo_deserialize(BLOOM, bc.value)
         vals = series if series.dtype != object else pa.array(series.fillna(""), type=pa.large_string())
         if isinstance(vals, pd.Series):
             vals = vals.to_numpy(np.int64, copy=False)
@@ -798,8 +827,9 @@ def cms_estimate_col(spark, state_bytes: bytes, col):
 
     @F.pandas_udf(LongType())
     def estimate(series: pd.Series) -> pd.Series:
+        from .agg import _memo_deserialize
         from .sketch import CMS
-        state = CMS.deserialize(bc.value)
+        state = _memo_deserialize(CMS, bc.value)
         vals = series if series.dtype != object else pa.array(series.fillna(""), type=pa.large_string())
         if isinstance(vals, pd.Series):
             vals = vals.to_numpy(np.int64, copy=False)

@@ -211,3 +211,38 @@ class TestRollupStates:
                   for r in sketch_grouped(df, ["coarse"], "v", spec,
                                           strategy="local_combine").collect()}
         assert rolled == direct
+
+
+def test_probe_state_memo_one_deserialize_per_state():
+    """Probe UDFs memoize the deserialized broadcast state per worker
+    process (round-3 verdict finding #2): repeated Arrow batches against
+    the same blob must deserialize once, a different blob once more, and
+    the LRU stays bounded."""
+    import numpy as np
+
+    from sketchlib import agg as aggmod
+    from sketchlib.sketch import BLOOM
+
+    st1 = BLOOM.update(BLOOM.create(100, 0.01), np.arange(50, dtype=np.int64))
+    st2 = BLOOM.update(BLOOM.create(100, 0.01), np.arange(99, dtype=np.int64))
+    b1, b2 = BLOOM.serialize(st1), BLOOM.serialize(st2)
+
+    aggmod._PROBE_MEMO.clear()
+    base = aggmod._probe_memo_deserializes
+    s_a = aggmod._memo_deserialize(BLOOM, b1)
+    s_b = aggmod._memo_deserialize(BLOOM, b1)  # same blob: cache hit
+    assert aggmod._probe_memo_deserializes == base + 1
+    assert s_a is s_b
+    aggmod._memo_deserialize(BLOOM, b2)  # different blob: one more
+    assert aggmod._probe_memo_deserializes == base + 2
+    # memoized state answers identically to a fresh deserialize
+    probes = np.arange(120, dtype=np.int64)
+    assert (BLOOM.contains(s_a, probes)
+            == BLOOM.contains(BLOOM.deserialize(b1), probes)).all()
+
+    # LRU bound: flooding with distinct states never grows past the cap
+    for i in range(2 * aggmod._PROBE_MEMO_MAX):
+        st = BLOOM.update(BLOOM.create(64, 0.01),
+                          np.arange(i + 1, dtype=np.int64))
+        aggmod._memo_deserialize(BLOOM, BLOOM.serialize(st))
+    assert len(aggmod._PROBE_MEMO) <= aggmod._PROBE_MEMO_MAX
