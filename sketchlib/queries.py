@@ -499,19 +499,24 @@ def kll_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in grouped.collect()]  # one tiny row per flag
     med_df = spark.createDataFrame(meds, "l_returnflag string, med double")
     # LEFT join from the data side + null-guarded check: a flag the sketch
-    # path lost shows up as median_ok=false, not as a dropped row; a
-    # phantom sketch flag has no data rows and surfaces as an oracle
-    # row-count mismatch if it ever joined
+    # path lost shows up as median_ok=false, not as a dropped row.  The
+    # final full_outer against the sketch-side flags (the HLL gates'
+    # pattern) covers the converse: a phantom flag the sketch path
+    # invented gets a data-side-NULL row -> median_ok=false AND an oracle
+    # row-count mismatch, instead of being silently dropped.
     ranked = (li.join(F.broadcast(med_df), "l_returnflag", "left")
               .groupBy("l_returnflag")
               .agg(F.count("*").alias("n"),
                    F.sum((F.col("l_extendedprice") <= F.col("med"))
                          .cast("long")).alias("below")))
-    return ranked.select(
-        "l_returnflag",
-        (F.col("below").isNotNull()
-         & (F.abs(F.col("below") / F.col("n") - 0.5) <= 0.02))
-        .alias("median_ok"))
+    return (ranked
+            .join(med_df.select("l_returnflag"), "l_returnflag",
+                  "full_outer")
+            .select(
+                "l_returnflag",
+                (F.col("below").isNotNull()
+                 & (F.abs(F.col("below") / F.col("n") - 0.5) <= 0.02))
+                .alias("median_ok")))
 
 
 @register("tdigest_value_quantiles", f"""

@@ -64,6 +64,13 @@ _CHUNK = 4096
 # it in the state blob.
 _PATTERN_LOG_MASKS = 10
 _PATTERN_SEED = 0x18C0FFEE
+#: Wire version of the mask-table derivation.  v1 was the numpy-Generator
+#: table (pre round-3); v2 is the splitmix64 derivation below.  Pattern
+#: states carry this in their serialized header so a state built under a
+#: different table is REJECTED at deserialize instead of silently probing
+#: with wrong masks (false negatives).  Bump whenever the derivation or
+#: _PATTERN_SEED changes.
+_PATTERN_TABLE_VERSION = 2
 _pattern_tables: dict[int, np.ndarray] = {}
 
 
@@ -312,12 +319,22 @@ class Bloom:
         header = {"m": state.m_bits, "k": state.k,
                   "n": state.n_inserted, "blocked": int(state.blocked),
                   "bb": state.block_bits, "pat": int(state.pattern)}
+        if state.pattern:
+            header["pv"] = _PATTERN_TABLE_VERSION
         return pack_state(self.name, header, [state.words])
 
     def deserialize(self, data: bytes) -> BloomState:
         kind, header, bufs = unpack_state(data)
         if kind != self.name:
             raise ValueError(f"expected bloom blob, got {kind}")
+        if header.get("pat"):
+            pv = header.get("pv", 1)  # pre-versioning blobs = v1 table
+            if pv != _PATTERN_TABLE_VERSION:
+                raise ValueError(
+                    f"pattern Bloom state built with mask-table v{pv}; "
+                    f"this build probes with v{_PATTERN_TABLE_VERSION} — "
+                    "probing would silently false-negative, rebuild the "
+                    "state")
         return BloomState(header["m"], header["k"],
                           bufs[0].astype(np.uint64, copy=False),
                           header["n"],

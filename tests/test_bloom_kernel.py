@@ -229,3 +229,30 @@ class TestPatternedMode:
         assert bool(np.array_equal(merged.words, whole.words))
         with pytest.raises(ValueError, match="geometry"):
             BLOOM.merge(a, BLOOM.create(4_000, 0.01, blocked=True))
+
+    def test_pattern_table_version_guard(self, monkeypatch):
+        """Pattern states carry the mask-table version in the wire header;
+        a blob built under a different table derivation is rejected at
+        deserialize (silent false negatives otherwise).  Non-pattern blobs
+        carry no version and stay compatible."""
+        import sketchlib.sketch.bloom as bloommod
+
+        st = BLOOM.update(BLOOM.create(1_000, 0.01, pattern=True), [b"key"])
+        blob = BLOOM.serialize(st)
+        rt = BLOOM.deserialize(blob)  # same version: fine
+        assert rt.pattern and rt.n_inserted == 1
+        monkeypatch.setattr(bloommod, "_PATTERN_TABLE_VERSION", 3)
+        with pytest.raises(ValueError, match="mask-table v2"):
+            BLOOM.deserialize(blob)
+        # a pre-versioning pattern blob (no "pv" field) reads as v1 and is
+        # rejected by a v2+ build
+        blob_v1 = bloommod.pack_state(
+            BLOOM.name,
+            {"m": st.m_bits, "k": st.k, "n": st.n_inserted, "blocked": 1,
+             "bb": st.block_bits, "pat": 1}, [st.words])
+        monkeypatch.undo()
+        with pytest.raises(ValueError, match="mask-table v1"):
+            BLOOM.deserialize(blob_v1)
+        # plain / blocked states are versionless and roundtrip as before
+        plain = BLOOM.update(BLOOM.create(1_000, 0.01), [b"key"])
+        assert BLOOM.deserialize(BLOOM.serialize(plain)).n_inserted == 1
