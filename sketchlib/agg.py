@@ -158,6 +158,26 @@ def _arrow_values(arr):
     return arr
 
 
+def _cap_partials(sel: DataFrame) -> tuple[DataFrame, int]:
+    """Coalesce a partial-build input down to the session's parallelism.
+
+    Partial-state cost is partials × state_bytes regardless of row count —
+    a full-size Bloom partial is m bits whether its partition saw 1 row or
+    10M.  Inputs are commonly split at 2-3× parallelism for scan balance,
+    which multiplies the alloc/zero/serialize/shuffle/merge bytes of every
+    state-heavy build for zero extra parallelism.  ``coalesce`` is narrow
+    (no shuffle): each build task just consumes more input splits.
+    Measured at 20M pages / 96 splits / 32 cores, Bloom m=192Mbit:
+    35.4 s at 96 partials -> 8.9 s at 32 (BENCH/capacity_20m.json).
+    On a real cluster the same cap keeps partial bytes proportional to
+    task slots, not to however finely the scan happened to split."""
+    target = sel.sparkSession.sparkContext.defaultParallelism
+    parts = sel.rdd.getNumPartitions()
+    if parts > target:
+        return sel.coalesce(target), target
+    return sel, max(1, parts)
+
+
 def build_partials(df: DataFrame, col: str, spec: SketchSpec,
                    num_shards: int | None = None) -> DataFrame:
     """Stage 1 (fast path): one serialized partial sketch per partition.
@@ -178,6 +198,8 @@ def build_partials(df: DataFrame, col: str, spec: SketchSpec,
     sel = df.select(F.col(col).alias("__v"))
     if num_shards is not None:
         sel = sel.repartition(num_shards)
+    else:
+        sel, _ = _cap_partials(sel)
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -306,7 +328,8 @@ def build_sketch(df: DataFrame, col: str, spec: SketchSpec, *,
     t0 = time.perf_counter()
     partials = build_partials(df, col, spec, num_shards)
     num_partials = num_shards if num_shards is not None \
-        else df.rdd.getNumPartitions()
+        else min(df.rdd.getNumPartitions(),
+                 df.sparkSession.sparkContext.defaultParallelism)
 
     lineage: list[dict] = []
     if collect_lineage:
@@ -537,6 +560,9 @@ def build_sketches(df: DataFrame, cols_specs: list[tuple[str, SketchSpec]],
     sel = df.select(*aliases)
     if num_shards is not None:
         sel = sel.repartition(num_shards)
+        capped_partials = num_shards
+    else:
+        sel, capped_partials = _cap_partials(sel)
     specs = [spec for _, spec in cols_specs]
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -561,8 +587,7 @@ def build_sketches(df: DataFrame, cols_specs: list[tuple[str, SketchSpec]],
 
     t0 = time.perf_counter()
     current = sel.mapInArrow(build, _MULTI_SCHEMA)
-    num_partials = num_shards if num_shards is not None \
-        else df.rdd.getNumPartitions()
+    num_partials = capped_partials
 
     def merge_group(key, pdf):
         ops = specs[key[0]].ops

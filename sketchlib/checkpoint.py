@@ -46,9 +46,16 @@ from .agg import (PARTIAL_SCHEMA, BuildResult, SketchSpec,
                   build_partials_keyed, shard_expr, tree_merge)
 
 __all__ = ["checkpointed_build", "load_manifest", "CheckpointState",
-           "sharded_contains"]
+           "sharded_contains", "ShardedBloomBank"]
 
 _MANIFEST = "manifest.json"
+
+#: headroom over the uniform n/S expectation when sizing a shard-sized
+#: bank's per-shard filter: xxhash64 routing is near-uniform, so shard
+#: loads concentrate within a few percent of n/S at web-crawl counts —
+#: 1.2x keeps P(overloaded shard) negligible.  Overload only loosens that
+#: shard's FPP (never false negatives).
+_SHARD_SIZE_PAD = 1.2
 
 
 @dataclass
@@ -60,6 +67,7 @@ class CheckpointState:
     value_col: str
     shards: dict = field(default_factory=dict)  # str(shard) -> lineage dict
     rounds: list = field(default_factory=list)  # per-run metrics
+    shard_sized: bool = False  # True: per-shard m, bank is NEVER merged
 
     @property
     def done(self) -> set[int]:
@@ -70,12 +78,14 @@ class CheckpointState:
         return set(range(self.num_shards)) - self.done
 
     def compatible_with(self, spec: SketchSpec, num_shards: int,
-                        route_cols: list[str], value_col: str) -> bool:
+                        route_cols: list[str], value_col: str,
+                        shard_sized: bool = False) -> bool:
         return (self.spec_kind == spec.kind
                 and self.spec_cfg == dict(spec.cfg)
                 and self.num_shards == num_shards
                 and self.route_cols == list(route_cols)
-                and self.value_col == value_col)
+                and self.value_col == value_col
+                and self.shard_sized == shard_sized)
 
 
 def load_manifest(ckpt_dir: str) -> CheckpointState | None:
@@ -88,7 +98,8 @@ def load_manifest(ckpt_dir: str) -> CheckpointState | None:
         spec_kind=raw["spec_kind"], spec_cfg=raw["spec_cfg"],
         num_shards=raw["num_shards"], route_cols=raw["route_cols"],
         value_col=raw["value_col"], shards=raw["shards"],
-        rounds=raw.get("rounds", []))
+        rounds=raw.get("rounds", []),
+        shard_sized=raw.get("shard_sized", False))
 
 
 def _save_manifest(ckpt_dir: str, state: CheckpointState) -> None:
@@ -103,26 +114,89 @@ def _partials_dir(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "partials")
 
 
+def _shard_spec(spec: SketchSpec, num_shards: int) -> SketchSpec:
+    """Per-shard Bloom geometry for a shard-sized bank: the caller's spec
+    names the TOTAL expected key count; each shard only ever holds the
+    keys the route function sends it (~n/S), so its filter is sized for
+    ceil(n × pad / S) — total bank bytes ≈ m(n) instead of S × m(n)."""
+    from .agg import bloom_spec
+
+    cfg = spec.cfg
+    per = max(64, -(-int(cfg["n"] * _SHARD_SIZE_PAD) // num_shards))
+    return bloom_spec(per, cfg["p"], blocked=cfg.get("blocked", False),
+                      block_bits=cfg.get("block_bits"),
+                      pattern=cfg.get("pattern", False))
+
+
+@dataclass
+class ShardedBloomBank:
+    """A completed shard-sized Bloom bank: S filters, each sized for its
+    own shard's keys, living as checkpoint state — NEVER merged into one
+    array (ORing m/S-bit filters from different key sets would overload
+    them; at 10^12 keys the merged filter is ~TBs and physically cannot
+    exist anyway).  Probe through :func:`sharded_contains` — each key is
+    checked only against its owning shard, so per-shard FPP = p holds for
+    the whole bank."""
+
+    spec: SketchSpec        # PER-shard spec (m sized for ~n/S keys)
+    num_shards: int
+    ckpt_dir: str
+    n_rows: int
+    total_state_bytes: int
+    shard_lineage: list
+
+    def contains(self, probes: DataFrame, probe_col: str) -> DataFrame:
+        return sharded_contains(probes, probe_col, self.ckpt_dir)
+
+    def metrics(self) -> dict:
+        per_shard = [s.get("n", 0) for s in self.shard_lineage]
+        return {
+            "kind": "bloom_bank",
+            "num_shards": self.num_shards,
+            "n_rows": self.n_rows,
+            "total_state_bytes": self.total_state_bytes,
+            "bits_per_item": (8 * self.total_state_bytes
+                              / max(1, self.n_rows)),
+            "max_shard_rows": max(per_shard, default=0),
+            "shard_capacity": self.spec.cfg["n"],
+        }
+
+
 def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
                        route_cols: list[str], num_shards: int,
                        ckpt_dir: str,
-                       max_shards_per_run: int | None = None) -> BuildResult | None:
+                       max_shards_per_run: int | None = None,
+                       shard_sized: bool = False,
+                       ) -> BuildResult | ShardedBloomBank | None:
     """Build (or resume) a sharded sketch with durable per-shard state.
 
     Returns the finished BuildResult, or None when ``max_shards_per_run``
     time-boxed the run before all shards were built (call again to
     continue — that is the resume path a failed cluster would take).
-    """
+
+    ``shard_sized=True`` (bloom only): size each shard's filter for its
+    OWN expected key count (total n ÷ S, padded) instead of the full n,
+    and return a :class:`ShardedBloomBank` that is probed routed and
+    never merged.  This is the only Bloom shape that works at 10^12 keys:
+    a full-n filter is ~TBs, so S copies of it (the default mode's shard
+    states) cannot ship, while the bank's total bytes stay ≈ one m(n)."""
     spark = df.sparkSession
+    if shard_sized:
+        if spec.kind != "bloom":
+            raise ValueError("shard_sized banks are bloom-only: other "
+                             "kinds have fixed-size states that sharding "
+                             "does not shrink")
+        spec = _shard_spec(spec, num_shards)
     os.makedirs(ckpt_dir, exist_ok=True)
     state = load_manifest(ckpt_dir)
     if state is not None and not state.compatible_with(
-            spec, num_shards, route_cols, col):
+            spec, num_shards, route_cols, col, shard_sized):
         raise ValueError(f"checkpoint at {ckpt_dir} was written for a "
                          f"different spec/shard plan; refusing to mix")
     if state is None:
         state = CheckpointState(spec.kind, dict(spec.cfg), num_shards,
-                                list(route_cols), col)
+                                list(route_cols), col,
+                                shard_sized=shard_sized)
 
     missing = sorted(state.missing)
     if missing:
@@ -160,7 +234,20 @@ def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
         if len(planned) < len(missing):
             return None  # time-boxed: more shards remain
 
+    if state.shard_sized:
+        return _finalize_bank(spec, state, ckpt_dir)
     return _finalize(spark, spec, state, ckpt_dir)
+
+
+def _finalize_bank(spec: SketchSpec, state: CheckpointState,
+                   ckpt_dir: str) -> ShardedBloomBank:
+    """Close out a shard-sized bank: summarize lineage, merge NOTHING."""
+    done = sorted(state.done)
+    n_rows = sum(state.shards[str(s)].get("n", 0) for s in done)
+    total_bytes = sum(state.shards[str(s)].get("bytes", 0) for s in done)
+    lineage = [{"shard": s, **state.shards[str(s)]} for s in done]
+    return ShardedBloomBank(spec, state.num_shards, ckpt_dir,
+                            n_rows, total_bytes, lineage)
 
 
 def sharded_contains(probes: DataFrame, probe_col: str,
@@ -275,6 +362,10 @@ def _finalize(spark: SparkSession, spec: SketchSpec, state: CheckpointState,
     tree_merge reduces them first so the driver only ever holds <= fanout
     blobs (round-1 verdict finding #7 — at 4096 shards x 1 MB states the
     sequential driver loop was the bottleneck and memory hazard)."""
+    if state.shard_sized:
+        raise ValueError("shard-sized bank: shards hold different key "
+                         "sets in per-shard-m arrays — merging would "
+                         "overload the result; probe via sharded_contains")
     ops = spec.ops
     t0 = time.perf_counter()
     have_rows = os.path.exists(_partials_dir(ckpt_dir))

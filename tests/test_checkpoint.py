@@ -220,3 +220,79 @@ def test_finalize_tree_merges_many_shards(spark, sf_smoke, tmp_path):
     assert many.state_bytes == few.state_bytes
     assert many.n_rows == few.n_rows
     assert len(many.shard_lineage) == 256
+
+
+class TestShardSizedBank:
+    """shard_sized=True: per-shard m for ~n/S keys, probed routed, never
+    merged — total bank bytes ≈ one m(n), the only shape whose state can
+    exist at 10^12 keys (S full-n shards = S × TBs)."""
+
+    def _bank(self, spark, sf_smoke, tmp_path, name, **kw):
+        df = _li(spark, sf_smoke)
+        spec = bloom_spec(df.count(), 0.01)
+        bank = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                                  num_shards=SHARDS,
+                                  ckpt_dir=str(tmp_path / name),
+                                  shard_sized=True, **kw)
+        return df, spec, bank
+
+    def test_state_bytes_near_one_filter_not_s_filters(
+            self, spark, sf_smoke, tmp_path):
+        from sketchlib.agg import build_sketch
+        from sketchlib.checkpoint import ShardedBloomBank
+
+        df, spec, bank = self._bank(spark, sf_smoke, tmp_path, "bank")
+        assert isinstance(bank, ShardedBloomBank)
+        merged = build_sketch(df, "l_orderkey", spec)
+        one_filter = len(merged.state_bytes)
+        # pad 1.2x + per-shard ceil + per-blob headers: well under 2x ONE
+        # full filter, versus the default mode's S x one_filter
+        assert bank.total_state_bytes < 2.0 * one_filter
+        assert bank.total_state_bytes > 0.5 * one_filter  # not undersized
+        per_shard = [s["bytes"] for s in bank.shard_lineage
+                     if not s.get("empty")]
+        assert max(per_shard) < 2.0 * one_filter / SHARDS
+        assert bank.metrics()["kind"] == "bloom_bank"
+
+    def test_probe_no_fn_and_bounded_fp(self, spark, sf_smoke, tmp_path):
+        from pyspark.sql import functions as F
+
+        df, spec, bank = self._bank(spark, sf_smoke, tmp_path, "bankp")
+        n = df.where("l_orderkey is not null").count()
+        assert bank.n_rows == n
+        # every inserted key must be a member (Blooms have no FN; routing
+        # is deterministic so each key probes the shard that holds it)
+        hits = (bank.contains(df.select("l_orderkey"), "l_orderkey")
+                .where(F.col("member")).count())
+        assert hits == df.count()
+        # fresh keys: per-shard FPP = p because each shard holds ~n/S keys
+        # in an m(n/S)-bit array; allow generous slack at small counts
+        spark_fresh = spark.range(10_000_000, 10_003_000) \
+            .select(F.col("id").alias("l_orderkey"))
+        fp = (bank.contains(spark_fresh, "l_orderkey")
+              .where(F.col("member")).count()) / 3_000
+        assert fp <= 5 * 0.01
+
+    def test_resume_and_plan_guards(self, spark, sf_smoke, tmp_path):
+        df = _li(spark, sf_smoke)
+        spec = bloom_spec(df.count(), 0.01)
+        ckpt = str(tmp_path / "bankr")
+        partial = checkpointed_build(df, "l_orderkey", spec,
+                                     route_cols=ROUTE, num_shards=SHARDS,
+                                     ckpt_dir=ckpt, shard_sized=True,
+                                     max_shards_per_run=5)
+        assert partial is None  # time-boxed mid-build
+        done = checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                                  num_shards=SHARDS, ckpt_dir=ckpt,
+                                  shard_sized=True)
+        assert done is not None and done.n_rows == df.count()
+        # a full-n (non-bank) resume against a bank dir must refuse
+        with pytest.raises(ValueError, match="different spec/shard plan"):
+            checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
+                               num_shards=SHARDS, ckpt_dir=ckpt)
+        # non-bloom banks are meaningless (fixed-size states)
+        with pytest.raises(ValueError, match="bloom-only"):
+            checkpointed_build(df, "l_extendedprice", kll_spec(k=160),
+                               route_cols=ROUTE, num_shards=SHARDS,
+                               ckpt_dir=str(tmp_path / "bankk"),
+                               shard_sized=True)
