@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from hypothesis import given, settings, strategies as st
+
 from pyspark.sql import functions as F
 
 from sketchlib.extract import extract_text, extracted_text_col
@@ -55,6 +57,85 @@ def test_extract_null_and_empty():
 def test_extract_deterministic_repeat():
     html = GOLDEN[1][0]
     assert len({extract_text(html) for _ in range(50)}) == 1
+
+
+# ---------------------------------------------------------------------------
+# vectorized tier (extract_series): elementwise == extract_text, fast path
+# actually engaged for conforming pages, parser only for the rest
+# ---------------------------------------------------------------------------
+
+def _conforming(body, lang="en", title="Doc 1"):
+    return (f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
+            f'<title>{title}</title><style>p{{margin:0}}</style></head>'
+            f'<body><article><p>{body}</p></article>'
+            f'<script>/* tracking stub, must not leak into text */</script>'
+            f'</body></html>')
+
+
+_SERIES_CASES = [
+    _conforming("plain words here"),
+    _conforming("a &amp; b &lt;tag&gt; c"),       # fast, entities decoded
+    _conforming("foreign &copy; entity"),          # round-trip check -> parser
+    _conforming("bare & ampersand"),               # -> parser
+    _conforming("numeric &#65; ref"),              # -> parser
+    _conforming("multi\nline\ntext"),
+    _conforming(""),
+    GOLDEN[0][0],                                  # nonconforming skeleton
+    GOLDEN[4][0],
+    None,
+]
+
+
+@pytest.mark.parametrize("as_bytes", [False, True])
+def test_extract_series_elementwise_equals_parser(as_bytes):
+    import pandas as pd
+
+    from sketchlib.extract import extract_series
+
+    vals = [c.encode("utf-8") if as_bytes and isinstance(c, str) else c
+            for c in _SERIES_CASES]
+    got = extract_series(pd.Series(vals, dtype=object)).tolist()
+    assert got == [extract_text(c) for c in _SERIES_CASES]
+
+
+def test_extract_series_fast_path_engaged(monkeypatch):
+    """Conforming pages must NOT reach the per-document parser; only the
+    structurally-odd / foreign-entity rows fall back."""
+    import pandas as pd
+
+    import sketchlib.extract as ex
+
+    calls = []
+    real = ex.extract_text
+    monkeypatch.setattr(ex, "extract_text",
+                        lambda v: (calls.append(v), real(v))[1])
+    conforming = pd.Series([_conforming(f"words {i} &amp; more")
+                            for i in range(100)], dtype=object)
+    out = ex.extract_series(conforming)
+    assert calls == []  # every row took the vectorized tier
+    assert out.iloc[3] == "words 3 & more"
+    mixed = pd.Series([_conforming("ok &amp; fine"),
+                       _conforming("foreign &copy; entity"),
+                       GOLDEN[0][0]], dtype=object)
+    ex.extract_series(mixed)
+    assert len(calls) == 2  # exactly the two non-fast rows
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=120))
+def test_extract_series_fast_matches_parser_any_body(body):
+    """Property: for ANY body text escaped into the conforming template,
+    the vectorized tier returns the original text byte-for-byte (whether
+    it used the fast path or fell back)."""
+    import html as html_mod
+
+    import pandas as pd
+
+    from sketchlib.extract import extract_series
+
+    page = _conforming(html_mod.escape(body, quote=False))
+    got = extract_series(pd.Series([page], dtype=object)).iloc[0]
+    assert got == body == extract_text(page)
 
 
 # ---------------------------------------------------------------------------
