@@ -54,6 +54,15 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="make the Bloom build resumable at this path")
+    ap.add_argument("--sharded-bloom", type=int, nargs="?", const=-1,
+                    default=None, metavar="S",
+                    help="build the Bloom as a shard-sized bank of S "
+                         "filters (default S = 4x cores), each sized for "
+                         "its own ~n/S keys: the cache-resident, "
+                         "never-merged shape a 10^12-key run uses. With "
+                         "--reps > 1 each rep builds a fresh bank unless "
+                         "--checkpoint-dir pins one (which rep 2 would "
+                         "then resume, i.e. skip)")
     ap.add_argument("--reps", type=int, default=2,
                 help="timed pipeline repetitions; best-of is reported")
     ap.add_argument("--out", default=None, help="also write the JSON here")
@@ -125,7 +134,28 @@ def main() -> None:
                           ("host_id", cms_spec(d=5, w=8192)),
                           ("n_chars", kll_spec(k=200)),
                           ("n_chars", tdigest_spec(delta=200))]
-            if args.checkpoint_dir and use_checkpoint:
+            if args.sharded_bloom and use_checkpoint:
+                # scale path: the Bloom is a shard-sized bank (each shard's
+                # filter sized for its OWN ~n/S keys -> cache-resident
+                # scatter, durable per-shard lineage, never merged).  A
+                # monolithic m(n) filter stops being cache-resident around
+                # n~20M per partial (measured: insert drops 4.2->2.2
+                # Mkeys/s/core from a 6MB to a 60MB bitset) and physically
+                # cannot exist at 10^12 keys, so this is the shape a real
+                # crawl-scale run uses.
+                import tempfile
+                from sketchlib.checkpoint import checkpointed_build
+                s_shards = args.sharded_bloom if args.sharded_bloom > 0 \
+                    else 4 * cores
+                ck = args.checkpoint_dir or tempfile.mkdtemp(
+                    prefix="bloombank_")
+                bloom = checkpointed_build(
+                    flat, "url", bloom_spec(n_pages, 0.01),
+                    route_cols=["url"], num_shards=s_shards,
+                    ckpt_dir=ck, shard_sized=True)
+                hll, cms, kll, td = build_sketches(flat, cols_specs[1:],
+                                                   num_shards=args.shards)
+            elif args.checkpoint_dir and use_checkpoint:
                 # resumable path for the Bloom; the rest share one scan
                 from sketchlib.checkpoint import checkpointed_build
                 bloom = checkpointed_build(
@@ -174,10 +204,15 @@ def main() -> None:
         best_stages, metrics, n_pages = run_pipeline(pages,
                                                      flat_input=flat_in)
         best_total = sum(best_stages.values())
+        all_reps = [best_stages]
         for _ in range(args.reps - 1):
             st, _m, _n = run_pipeline(pages, flat_input=flat_in)
+            all_reps.append(st)
             if sum(st.values()) < best_total:
                 best_stages, best_total = st, sum(st.values())
+        # every rep's stage times, so the headline best-of is auditable
+        # (and rep-to-rep drift under memory pressure is visible)
+        metrics["rep_stages"] = all_reps
 
         out = {
             "pages": n_pages,
