@@ -126,6 +126,40 @@ def _fmt_scaling() -> list[str]:
     return out
 
 
+def _fmt_capacity() -> list[str]:
+    """Data-size axis: the capacity points (pages swept at fixed cores)."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(_BENCH_DIR, "capacity_*.json")))
+    if not paths:
+        return []
+    rows = []
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        st = d.get("stages", {})
+        rows.append((os.path.basename(p).removeprefix("capacity_")
+                     .removesuffix(".json"),
+                     d.get("pages", 0), d.get("pipeline_secs", 0),
+                     d.get("pages_per_sec", 0), st.get("extract"),
+                     st.get("sketches"), st.get("grouped_hll")))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    out = ["## Capacity points (pages axis, local[32] best-of-reps)", "",
+           "| run | pages | pipeline s | pages/s | extract | sketches |"
+           " grouped |", "|---|---:|---:|---:|---:|---:|---:|"]
+    for name, pages, secs, pps, ex, sk, gr in rows:
+        cells = [f"{pages:,}", f"{secs:.1f}", f"{pps:,.0f}"] + \
+            [f"{v:.1f}" if isinstance(v, (int, float)) else "—"
+             for v in (ex, sk, gr)]
+        out.append(f"| {name} | " + " | ".join(cells) + " |")
+    out.append("")
+    out.append("Cross-session absolute pages/s carries up to 3.6x VM phase "
+               "spread — scale evidence is WITHIN-session ratios only "
+               "(5m_control vs 50m variants ran in one session; 5m/20m in "
+               "an earlier, faster one). Analysis: BENCH/BASELINE.md.")
+    out.append("")
+    return out
+
+
 def main(argv: list[str]) -> None:
     paths = argv or [os.path.join(_BENCH_DIR, "bench_latest.json")]
     runs: list[tuple[str, dict]] = []
@@ -142,6 +176,7 @@ def main(argv: list[str]) -> None:
         lines.extend(_fmt_run(run, lbl))
     lines.extend(_fmt_compare(runs))
     lines.extend(_fmt_scaling())
+    lines.extend(_fmt_capacity())
     lines.append("## Error rates / bits per item "
                  "(viz_benchmark.py:42-77 analogue)")
     lines.append("")
