@@ -215,6 +215,10 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
             except ValueError:
                 pass
 
+    # fixed-workload machine probe: makes this run's VM phase visible in
+    # the JSON itself (this sandbox swings up to 3.6x between sessions —
+    # BENCH/BASELINE.md); not part of `value`.
+    from sketchlib.envprobe import env_probe
     result = {
         "metric": "sketch_suite_total",
         "value": round(total, 3),
@@ -222,6 +226,7 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
         "queries": timings,
         "sf": sf,
         "cores": cores,
+        "env_probe": env_probe(),
         **extras,
     }
     if own_session:

@@ -214,9 +214,11 @@ def main() -> None:
         # (and rep-to-rep drift under memory pressure is visible)
         metrics["rep_stages"] = all_reps
 
+        from sketchlib.envprobe import env_probe
         out = {
             "pages": n_pages,
             "cores": cores,
+            "env_probe": env_probe(),
             "partitions": parts,
             "reps": args.reps,
             "stages": best_stages,
