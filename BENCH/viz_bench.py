@@ -141,21 +141,27 @@ def _fmt_capacity() -> list[str]:
                      .removesuffix(".json"),
                      d.get("pages", 0), d.get("pipeline_secs", 0),
                      d.get("pages_per_sec", 0), st.get("extract"),
-                     st.get("sketches"), st.get("grouped_hll")))
+                     st.get("sketches"), st.get("grouped_hll"),
+                     d.get("env_probe", {}).get("stream_gbps_mt")))
     rows.sort(key=lambda r: (r[1], r[0]))
     out = ["## Capacity points (pages axis, local[32] best-of-reps)", "",
            "| run | pages | pipeline s | pages/s | extract | sketches |"
-           " grouped |", "|---|---:|---:|---:|---:|---:|---:|"]
-    for name, pages, secs, pps, ex, sk, gr in rows:
+           " grouped | probe GB/s |", "|---|---:|---:|---:|---:|---:|---:"
+           "|---:|"]
+    for name, pages, secs, pps, ex, sk, gr, pr in rows:
         cells = [f"{pages:,}", f"{secs:.1f}", f"{pps:,.0f}"] + \
             [f"{v:.1f}" if isinstance(v, (int, float)) else "—"
-             for v in (ex, sk, gr)]
+             for v in (ex, sk, gr, pr)]
         out.append(f"| {name} | " + " | ".join(cells) + " |")
     out.append("")
     out.append("Cross-session absolute pages/s carries up to 3.6x VM phase "
                "spread — scale evidence is WITHIN-session ratios only "
-               "(5m_control vs 50m variants ran in one session; 5m/20m in "
-               "an earlier, faster one). Analysis: BENCH/BASELINE.md.")
+               "(5m_control + 50m + 50m_bank are one sweep; the slowphase "
+               "heap pair is an earlier degraded session; 5m/20m a faster "
+               "one). 'probe GB/s' is the run's embedded fixed-workload "
+               "mt-stream probe (sketchlib/envprobe.py) — its absence "
+               "means the artifact predates the probe. Analysis: "
+               "BENCH/BASELINE.md.")
     out.append("")
     return out
 
