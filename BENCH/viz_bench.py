@@ -126,6 +126,16 @@ def _fmt_scaling() -> list[str]:
     return out
 
 
+def _probe_cell(d: dict) -> str:
+    """'start→end' mt-stream GB/s when both probes exist, one value when
+    only the end probe does, '—' for pre-probe artifacts."""
+    end = d.get("env_probe", {}).get("stream_gbps_mt")
+    start = d.get("env_probe_start", {}).get("stream_gbps_mt")
+    if start is not None and end is not None:
+        return f"{start:.0f}→{end:.0f}"
+    return f"{end:.1f}" if end is not None else "—"
+
+
 def _fmt_capacity() -> list[str]:
     """Data-size axis: the capacity points (pages swept at fixed cores)."""
     import glob
@@ -142,7 +152,7 @@ def _fmt_capacity() -> list[str]:
                      d.get("pages", 0), d.get("pipeline_secs", 0),
                      d.get("pages_per_sec", 0), st.get("extract"),
                      st.get("sketches"), st.get("grouped_hll"),
-                     d.get("env_probe", {}).get("stream_gbps_mt")))
+                     _probe_cell(d)))
     rows.sort(key=lambda r: (r[1], r[0]))
     out = ["## Capacity points (pages axis, local[32] best-of-reps)", "",
            "| run | pages | pipeline s | pages/s | extract | sketches |"
@@ -151,7 +161,7 @@ def _fmt_capacity() -> list[str]:
     for name, pages, secs, pps, ex, sk, gr, pr in rows:
         cells = [f"{pages:,}", f"{secs:.1f}", f"{pps:,.0f}"] + \
             [f"{v:.1f}" if isinstance(v, (int, float)) else "—"
-             for v in (ex, sk, gr, pr)]
+             for v in (ex, sk, gr)] + [pr]
         out.append(f"| {name} | " + " | ".join(cells) + " |")
     out.append("")
     out.append("Cross-session absolute pages/s carries up to 3.6x VM phase "

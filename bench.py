@@ -166,6 +166,12 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR",
                                       "/root/testdata/sf0.1")
     cores = cores or default_parallelism()
+    # phase probe at BOTH ends: suite runs span minutes and the sandbox's
+    # hypervisor phases shift within that (measured: an 82 s and a 188 s
+    # same-code rep whose end-probes read alike — the swing happened
+    # mid-run, so a single sample can miss it)
+    from sketchlib.envprobe import env_probe
+    probe_start = env_probe()
     own_session = spark is None
     if own_session:
         spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
@@ -218,7 +224,6 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
     # fixed-workload machine probe: makes this run's VM phase visible in
     # the JSON itself (this sandbox swings up to 3.6x between sessions —
     # BENCH/BASELINE.md); not part of `value`.
-    from sketchlib.envprobe import env_probe
     result = {
         "metric": "sketch_suite_total",
         "value": round(total, 3),
@@ -226,6 +231,7 @@ def run_bench(sf_dir: str | None = None, cores: int | None = None,
         "queries": timings,
         "sf": sf,
         "cores": cores,
+        "env_probe_start": probe_start,
         "env_probe": env_probe(),
         **extras,
     }

@@ -85,6 +85,8 @@ def main() -> None:
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .getOrCreate())
     try:
+        from sketchlib.envprobe import env_probe
+        probe_start = env_probe()
         from sketchlib.packaging import ensure_shipped
         ensure_shipped(spark)
         from sketchlib.agg import (bloom_spec, build_sketches, cms_spec,
@@ -214,10 +216,10 @@ def main() -> None:
         # (and rep-to-rep drift under memory pressure is visible)
         metrics["rep_stages"] = all_reps
 
-        from sketchlib.envprobe import env_probe
         out = {
             "pages": n_pages,
             "cores": cores,
+            "env_probe_start": probe_start,
             "env_probe": env_probe(),
             "partitions": parts,
             "reps": args.reps,
