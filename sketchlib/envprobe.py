@@ -18,6 +18,10 @@ patterns our kernels are made of:
   (numpy releases the GIL in reduce), because neighbor contention may
   only surface when the socket's bandwidth is saturated — which is
   exactly how the 32-core pipeline runs.
+* ``py_mops`` — a fixed pure-python loop (interpreter-bound; the
+  extract-stage analog). Needed because a 388 s pytest run was observed
+  while the memory legs read mid-healthy: CPU steal / downclocking can
+  degrade interpreter-bound work without moving the bandwidth legs.
 
 All legs are numpy with fixed sizes and a fixed seed-free index pattern
 (an LCG ramp), so the work is identical every run and machine-phase is
@@ -87,12 +91,21 @@ def probe() -> dict[str, float]:
     mt_s = time.perf_counter() - t0
     mt_bytes = n_thr * _STREAM_PASSES * slices[0].nbytes
 
+    py_iters = 2_000_000
+    acc_py = 0
+    t0 = time.perf_counter()
+    for i in range(py_iters):
+        acc_py = (acc_py * 31 + i) & 0xFFFFFFFF
+    py_s = time.perf_counter() - t0
+
     return {
+        "py_mops": round(py_iters / py_s / 1e6, 2),
+        "_acc_py": acc_py,
         "stream_gbps": round(stream_bytes / stream_s / 1e9, 2),
         "scatter_mops": round(_SCATTER_OPS / scatter_s / 1e6, 2),
         "stream_gbps_mt": round(mt_bytes / mt_s / 1e9, 2),
         "probe_threads": n_thr,
-        "probe_secs": round(stream_s + scatter_s + mt_s, 3),
+        "probe_secs": round(stream_s + scatter_s + mt_s + py_s, 3),
         "_acc": int(acc ^ sink[0]),  # defeat dead-code elimination
     }
 
@@ -103,7 +116,7 @@ def env_probe(reps: int = 3) -> dict[str, float]:
     still reflects it), anti-DCE field dropped."""
     runs = [probe() for _ in range(reps)]
     out: dict[str, float] = {}
-    for k in ("stream_gbps", "scatter_mops", "stream_gbps_mt"):
+    for k in ("stream_gbps", "scatter_mops", "stream_gbps_mt", "py_mops"):
         out[k] = max(r[k] for r in runs)
     out["probe_threads"] = runs[0]["probe_threads"]
     out["probe_secs"] = round(sum(r["probe_secs"] for r in runs), 3)

@@ -5,7 +5,8 @@ from sketchlib.envprobe import env_probe, probe
 
 def test_probe_reports_positive_throughputs():
     r = env_probe(reps=1)
-    for key in ("stream_gbps", "scatter_mops", "stream_gbps_mt"):
+    for key in ("stream_gbps", "scatter_mops", "stream_gbps_mt",
+                "py_mops"):
         assert r[key] > 0
     assert r["probe_threads"] >= 1
     assert 0 < r["probe_secs"] < 60
@@ -13,8 +14,10 @@ def test_probe_reports_positive_throughputs():
 
 def test_probe_work_is_fixed():
     # the workload must be identical every call (machine phase is the
-    # only variable): the reduction result is a pure function of it
-    assert probe()["_acc"] == probe()["_acc"]
+    # only variable): the reduction results are pure functions of it
+    a, b = probe(), probe()
+    assert a["_acc"] == b["_acc"]
+    assert a["_acc_py"] == b["_acc_py"]
 
 
 def test_best_of_reps_takes_max():
