@@ -1796,25 +1796,26 @@ def events_user_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-gate registry order
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks the first 50 registry entries in
-# insertion order.  Rounds 1-3 left the 11 last-registered entries
-# (_ROTATE_FRONT) outside that window — they are oracle-verified locally by
-# scripts/check_oracle.py, which always covers ALL entries, but never got a
-# driver row.  Rotate them to the front so the driver's CORRECTNESS file
-# records them, and explicitly choose which 11 fall out of the window
-# (_ROTATE_BACK): simple Catalyst/text ops with three rounds of green
-# driver rows whose semantics the pytest suite also pins — keeping the
-# flagship sketch/ANN/multimodal entries inside the checked window.
+# insertion order; with 61 registered, 11 always sit outside the window
+# (scripts/check_oracle.py still covers ALL entries locally every round).
+# Rotate per round so no query goes more than one round without a driver
+# row: round 4 fronted the 11 relational/webtext entries that had never
+# had one (all came back green, CORRECTNESS_r04.json rows 1-11); round 5
+# swaps — the 11 text/Catalyst entries rotated out in round 4 come back
+# to the front, and round 4's freshly-driver-green front set sits out
+# (each of those now has a driver row at most one round old, plus four
+# rounds of local oracle green and pytest pins).
 _ROTATE_FRONT = [
-    "tpch_q1", "tpch_q6", "revenue_by_nation", "bloom_join_prune",
-    "asof_click_purchase", "range_join_errors", "events_json_stats",
-    "event_sessions", "events_user_seq", "webtext_crawl_recency",
-    "webtext_heavy_hosts",
-]
-_ROTATE_BACK = [
     "token_stats", "quality_stats", "token_counts_bpe", "langid_summary",
     "doc_fingerprints", "webtext_extract_ok", "webtext_url_parts",
     "dedup_keep_first", "kmv_sample_urls", "kll_price_quantiles",
     "tdigest_value_quantiles",
+]
+_ROTATE_BACK = [
+    "tpch_q1", "tpch_q6", "revenue_by_nation", "bloom_join_prune",
+    "asof_click_purchase", "range_join_errors", "events_json_stats",
+    "event_sessions", "events_user_seq", "webtext_crawl_recency",
+    "webtext_heavy_hosts",
 ]
 assert all(n in QUERIES for n in _ROTATE_FRONT + _ROTATE_BACK)
 _order = (_ROTATE_FRONT
