@@ -296,3 +296,37 @@ class TestShardSizedBank:
                                route_cols=ROUTE, num_shards=SHARDS,
                                ckpt_dir=str(tmp_path / "bankk"),
                                shard_sized=True)
+
+    def test_probe_state_memo_one_deserialize_per_shard_blob(
+            self, spark, sf_smoke, tmp_path):
+        """sharded_contains routes per-shard blob deserialization through
+        agg._memo_deserialize (round-4 verdict residual #3), so routed
+        probes get the broadcast path's one-deserialize-per-worker-per-
+        state guarantee.  The worker-side counter isn't observable from
+        the driver, so (a) exercise the memo driver-side on the bank's
+        real committed blobs — repeat lookups must not re-deserialize —
+        and (b) prove through Spark that a repeated routed probe is
+        byte-identical (memoized state answers like a fresh one)."""
+        from pyspark.sql import functions as F
+
+        from sketchlib import agg as aggmod
+        from sketchlib.checkpoint import _partials_dir
+
+        df, spec, bank = self._bank(spark, sf_smoke, tmp_path, "bankm")
+        blobs = [bytes(r["state"]) for r in
+                 spark.read.parquet(_partials_dir(bank.ckpt_dir)).collect()]
+        assert blobs
+        ops = bank.spec.ops
+        aggmod._PROBE_MEMO.clear()
+        base = aggmod._probe_memo_deserializes
+        probe_n = min(len(blobs), aggmod._PROBE_MEMO_MAX)
+        for b in blobs[:probe_n] * 3:  # 3 probe rounds over the same bank
+            aggmod._memo_deserialize(ops, b)
+        assert aggmod._probe_memo_deserializes == base + probe_n
+
+        probes = df.select("l_orderkey").limit(500)
+        first = sorted((r["l_orderkey"], r["member"]) for r in
+                       bank.contains(probes, "l_orderkey").collect())
+        second = sorted((r["l_orderkey"], r["member"]) for r in
+                        bank.contains(probes, "l_orderkey").collect())
+        assert first == second and all(m for _, m in first)
