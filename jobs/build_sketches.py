@@ -53,20 +53,36 @@ def main() -> None:
                     help="input partitions (default 3x parallelism)")
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--checkpoint-dir", default=None,
-                    help="make the Bloom build resumable at this path")
+                    help="make the Bloom build resumable at this path. "
+                         "With --reps > 1 each rep gets a fresh rep{k}/ "
+                         "subdir — a completed checkpoint would be "
+                         "resumed (= skipped) by the next rep, silently "
+                         "dropping the Bloom cost from its timing")
     ap.add_argument("--sharded-bloom", type=int, nargs="?", const=-1,
                     default=None, metavar="S",
-                    help="build the Bloom as a shard-sized bank of S "
+                    help="force the Bloom to a shard-sized bank of S "
                          "filters (default S = 4x cores), each sized for "
                          "its own ~n/S keys: the cache-resident, "
-                         "never-merged shape a 10^12-key run uses. With "
-                         "--reps > 1 each rep builds a fresh bank unless "
-                         "--checkpoint-dir pins one (which rep 2 would "
-                         "then resume, i.e. skip)")
+                         "never-merged shape a 10^12-key run uses. "
+                         "Without this flag the mode is AUTO: the bank "
+                         "engages whenever the monolithic bitset "
+                         "outgrows the per-core cache budget "
+                         "(sketchlib.checkpoint.prefer_shard_sized)")
+    ap.add_argument("--monolith-bloom", action="store_true",
+                    help="force the monolithic (mergeable) Bloom even "
+                         "when auto would pick the bank — for A/B "
+                         "capacity comparisons")
     ap.add_argument("--reps", type=int, default=2,
                 help="timed pipeline repetitions; best-of is reported")
     ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args()
+    if args.sharded_bloom is not None and args.sharded_bloom != -1 \
+            and args.sharded_bloom < 1:
+        ap.error("--sharded-bloom needs S >= 1 (0 would silently fall "
+                 "through to the monolithic path)")
+    if args.sharded_bloom is not None and args.monolith_bloom:
+        ap.error("--sharded-bloom and --monolith-bloom are mutually "
+                 "exclusive")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -107,8 +123,28 @@ def main() -> None:
             return synth_webpages(spark, n_pages_arg, n_words=args.n_words,
                                   partitions=parts)
 
-        def run_pipeline(pages, use_checkpoint=True, flat_input=None):
-            """One full pass; returns (stages, metrics, n_pages)."""
+        def bloom_mode(spec) -> tuple[str, str]:
+            """(mode, reason) for this run's Bloom.  Auto (no flag) defers
+            to checkpoint.prefer_shard_sized: the bank engages once the
+            monolithic m(n) bitset outgrows the per-core cache budget —
+            measured here: insert drops 4.2->2.2 Mkeys/s/core from a 6MB
+            to a 60MB bitset — and is the only shape that exists at
+            10^12 keys.  Below the threshold the monolith keeps the
+            simpler mergeable blob."""
+            from sketchlib.checkpoint import prefer_shard_sized
+            if args.monolith_bloom:
+                return "monolith", "forced by --monolith-bloom"
+            if args.sharded_bloom is not None:
+                return "bank", "forced by --sharded-bloom"
+            m_bytes = spec.cfg["m_bits"] // 8
+            if prefer_shard_sized(spec):
+                return "bank", f"auto: m_bytes={m_bytes} > cache budget"
+            return "monolith", f"auto: m_bytes={m_bytes} fits cache"
+
+        def run_pipeline(pages, flat_input=None, ckpt=None, force_mode=None):
+            """One full pass; returns (stages, metrics, n_pages).
+            ``ckpt``: durable checkpoint dir for this rep (None = use a
+            throwaway temp dir if the bank engages, cleaned up here)."""
             stages: dict[str, float] = {}
             metrics: dict[str, object] = {}
 
@@ -131,50 +167,54 @@ def main() -> None:
 
             # -- stage 2: five-sketch single-pass build + tree merge -------
             t0 = time.perf_counter()
-            cols_specs = [("url", bloom_spec(n_pages, 0.01)),
+            bspec = bloom_spec(n_pages, 0.01)
+            cols_specs = [("url", bspec),
                           ("url", hll_spec(p=14)),
                           ("host_id", cms_spec(d=5, w=8192)),
                           ("n_chars", kll_spec(k=200)),
                           ("n_chars", tdigest_spec(delta=200))]
-            if args.sharded_bloom and use_checkpoint:
-                # scale path: the Bloom is a shard-sized bank (each shard's
-                # filter sized for its OWN ~n/S keys -> cache-resident
-                # scatter, durable per-shard lineage, never merged).  A
-                # monolithic m(n) filter stops being cache-resident around
-                # n~20M per partial (measured: insert drops 4.2->2.2
-                # Mkeys/s/core from a 6MB to a 60MB bitset) and physically
-                # cannot exist at 10^12 keys, so this is the shape a real
-                # crawl-scale run uses.
-                import tempfile
-                from sketchlib.checkpoint import checkpointed_build
-                s_shards = args.sharded_bloom if args.sharded_bloom > 0 \
-                    else 4 * cores
-                ck = args.checkpoint_dir or tempfile.mkdtemp(
-                    prefix="bloombank_")
-                bloom = checkpointed_build(
-                    flat, "url", bloom_spec(n_pages, 0.01),
-                    route_cols=["url"], num_shards=s_shards,
-                    ckpt_dir=ck, shard_sized=True)
-                hll, cms, kll, td = build_sketches(flat, cols_specs[1:],
-                                                   num_shards=args.shards)
-            elif args.checkpoint_dir and use_checkpoint:
-                # resumable path for the Bloom; the rest share one scan
-                from sketchlib.checkpoint import checkpointed_build
-                bloom = checkpointed_build(
-                    flat, "url", bloom_spec(n_pages, 0.01),
-                    route_cols=["url"], num_shards=4 * cores,
-                    ckpt_dir=args.checkpoint_dir)
-                hll, cms, kll, td = build_sketches(flat, cols_specs[1:],
-                                                   num_shards=args.shards)
-            else:
-                bloom, hll, cms, kll, td = build_sketches(
-                    flat, cols_specs, num_shards=args.shards)
-            stages["sketches"] = round(time.perf_counter() - t0, 3)
-            est = HLL.cardinality(hll.state)
-            metrics["hll_distinct_urls"] = int(est)
-            metrics["hll_rel_err"] = round(abs(est - n_pages) / n_pages, 5)
-            metrics["sketch_metrics"] = [s.metrics() for s in
-                                         (bloom, hll, cms, kll, td)]
+            mode, why = (force_mode, "warmup mirrors real mode") \
+                if force_mode else bloom_mode(bspec)
+            metrics["bloom_mode"], metrics["bloom_mode_reason"] = mode, why
+            tmp_ck = None
+            try:
+                if mode == "bank":
+                    import tempfile
+                    from sketchlib.checkpoint import checkpointed_build
+                    s_shards = (args.sharded_bloom
+                                if args.sharded_bloom
+                                and args.sharded_bloom > 0 else 4 * cores)
+                    ck = ckpt
+                    if ck is None:
+                        ck = tmp_ck = tempfile.mkdtemp(prefix="bloombank_")
+                    bloom = checkpointed_build(
+                        flat, "url", bspec, route_cols=["url"],
+                        num_shards=s_shards, ckpt_dir=ck, shard_sized=True)
+                    hll, cms, kll, td = build_sketches(
+                        flat, cols_specs[1:], num_shards=args.shards)
+                elif ckpt is not None:
+                    # resumable monolith; the other four share one scan
+                    from sketchlib.checkpoint import checkpointed_build
+                    bloom = checkpointed_build(
+                        flat, "url", bspec, route_cols=["url"],
+                        num_shards=4 * cores, ckpt_dir=ckpt,
+                        shard_sized=False)
+                    hll, cms, kll, td = build_sketches(
+                        flat, cols_specs[1:], num_shards=args.shards)
+                else:
+                    bloom, hll, cms, kll, td = build_sketches(
+                        flat, cols_specs, num_shards=args.shards)
+                stages["sketches"] = round(time.perf_counter() - t0, 3)
+                est = HLL.cardinality(hll.state)
+                metrics["hll_distinct_urls"] = int(est)
+                metrics["hll_rel_err"] = round(abs(est - n_pages) / n_pages,
+                                               5)
+                metrics["sketch_metrics"] = [s.metrics() for s in
+                                             (bloom, hll, cms, kll, td)]
+            finally:
+                if tmp_ck is not None:  # throwaway bank state: metrics
+                    import shutil       # are extracted, reclaim the disk
+                    shutil.rmtree(tmp_ck, ignore_errors=True)
 
             # -- stage 3: per-host HLL via map-side combine (skew path) ----
             t0 = time.perf_counter()
@@ -196,19 +236,51 @@ def main() -> None:
         # Warm the python workers WITH the actual pipeline on a tiny page
         # count: on a long-lived cluster workers/JIT are already hot, and
         # the scaling criterion excludes cluster startup (like JVM boot).
-        # warmup must not touch the checkpoint (its tiny-spec
-        # state would conflict with the real run's shard plan)
-        run_pipeline(None if flat_in is not None
-                     else make_pages(min(20_000, args.pages)),
-                     use_checkpoint=False, flat_input=warm_in)
+        # Warmup runs in the mode the real reps will use — a tiny spec
+        # never crosses the auto-bank threshold, so predict the real
+        # run's mode and force it (against a throwaway temp dir, never
+        # the real checkpoint: tiny-spec state would conflict with the
+        # real shard plan).
+        predicted = None
+        if args.monolith_bloom:
+            predicted = "monolith"
+        elif args.sharded_bloom is not None:
+            predicted = "bank"
+        elif flat_in is None and not args.sf_dir:
+            predicted = bloom_mode(bloom_spec(args.pages, 0.01))[0]
+        warm_ck = None
+        if args.checkpoint_dir and predicted != "bank":
+            import shutil
+            import tempfile
+            warm_ck = tempfile.mkdtemp(prefix="warmck_")
+        try:
+            run_pipeline(None if flat_in is not None
+                         else make_pages(min(20_000, args.pages)),
+                         flat_input=warm_in, force_mode=predicted,
+                         ckpt=warm_ck)
+        finally:
+            if warm_ck is not None:
+                shutil.rmtree(warm_ck, ignore_errors=True)
+
+        def ckpt_for(rep: int) -> str | None:
+            """Durable dir per rep.  reps > 1 get fresh rep{k}/ subdirs:
+            rep 2 resuming rep 1's completed checkpoint would skip the
+            Bloom build and silently drop its cost from the timing."""
+            if not args.checkpoint_dir:
+                return None
+            if args.reps > 1:
+                return os.path.join(args.checkpoint_dir, f"rep{rep}")
+            return args.checkpoint_dir
 
         pages = None if flat_in is not None else make_pages(args.pages)
         best_stages, metrics, n_pages = run_pipeline(pages,
-                                                     flat_input=flat_in)
+                                                     flat_input=flat_in,
+                                                     ckpt=ckpt_for(0))
         best_total = sum(best_stages.values())
         all_reps = [best_stages]
-        for _ in range(args.reps - 1):
-            st, _m, _n = run_pipeline(pages, flat_input=flat_in)
+        for k in range(1, args.reps):
+            st, _m, _n = run_pipeline(pages, flat_input=flat_in,
+                                      ckpt=ckpt_for(k))
             all_reps.append(st)
             if sum(st.values()) < best_total:
                 best_stages, best_total = st, sum(st.values())

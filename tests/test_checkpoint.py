@@ -286,10 +286,17 @@ class TestShardSizedBank:
                                   num_shards=SHARDS, ckpt_dir=ckpt,
                                   shard_sized=True)
         assert done is not None and done.n_rows == df.count()
-        # a full-n (non-bank) resume against a bank dir must refuse
+        # an EXPLICIT full-n (non-bank) resume against a bank dir must
+        # refuse; the auto default instead follows the manifest and
+        # reopens the completed bank
         with pytest.raises(ValueError, match="different spec/shard plan"):
             checkpointed_build(df, "l_orderkey", spec, route_cols=ROUTE,
-                               num_shards=SHARDS, ckpt_dir=ckpt)
+                               num_shards=SHARDS, ckpt_dir=ckpt,
+                               shard_sized=False)
+        reopened = checkpointed_build(df, "l_orderkey", spec,
+                                      route_cols=ROUTE, num_shards=SHARDS,
+                                      ckpt_dir=ckpt)  # auto default
+        assert reopened is not None and reopened.n_rows == done.n_rows
         # non-bloom banks are meaningless (fixed-size states)
         with pytest.raises(ValueError, match="bloom-only"):
             checkpointed_build(df, "l_extendedprice", kll_spec(k=160),
@@ -330,3 +337,77 @@ class TestShardSizedBank:
         second = sorted((r["l_orderkey"], r["member"]) for r in
                         bank.contains(probes, "l_orderkey").collect())
         assert first == second and all(m for _, m in first)
+
+
+class TestAutoShardSized:
+    """shard_sized="auto" (the default): fresh builds pick the bank once
+    the monolithic bitset outgrows the per-core cache budget; resumes
+    always follow the manifest's recorded mode (round-4 verdict next #1 —
+    a caller who forgot the flag silently got the DRAM-bound monolith)."""
+
+    def test_threshold_picks_bank_above_monolith_below(self):
+        from sketchlib.checkpoint import _BANK_AUTO_M_BYTES, prefer_shard_sized
+
+        # 50M keys at p=0.01 -> ~60 MB bitset: DRAM-bound, bank territory
+        big = bloom_spec(50_000_000, 0.01)
+        assert big.cfg["m_bits"] // 8 > _BANK_AUTO_M_BYTES
+        assert prefer_shard_sized(big)
+        # 100k keys -> ~120 KB: cache-resident, keep the mergeable blob
+        small = bloom_spec(100_000, 0.01)
+        assert not prefer_shard_sized(small)
+        # non-bloom states have fixed size; sharding shrinks nothing
+        assert not prefer_shard_sized(kll_spec(k=200))
+
+    def test_auto_default_small_spec_builds_monolith(self, spark, sf_smoke,
+                                                     tmp_path):
+        from sketchlib.agg import BuildResult
+
+        df = _li(spark, sf_smoke)
+        res = checkpointed_build(df, "l_orderkey",
+                                 bloom_spec(df.count(), 0.01),
+                                 route_cols=ROUTE, num_shards=SHARDS,
+                                 ckpt_dir=str(tmp_path / "auto_small"))
+        assert isinstance(res, BuildResult)
+        assert not load_manifest(str(tmp_path / "auto_small")).shard_sized
+
+    def test_auto_over_threshold_builds_bank(self, spark, sf_smoke,
+                                             tmp_path, monkeypatch):
+        import sketchlib.checkpoint as ck
+        from sketchlib.checkpoint import ShardedBloomBank
+
+        monkeypatch.setattr(ck, "_BANK_AUTO_M_BYTES", 64)
+        df = _li(spark, sf_smoke)
+        res = checkpointed_build(df, "l_orderkey",
+                                 bloom_spec(df.count(), 0.01),
+                                 route_cols=ROUTE, num_shards=SHARDS,
+                                 ckpt_dir=str(tmp_path / "auto_bank"))
+        assert isinstance(res, ShardedBloomBank)
+        assert load_manifest(str(tmp_path / "auto_bank")).shard_sized
+
+    def test_auto_resume_follows_manifest_not_threshold(self, spark,
+                                                        sf_smoke, tmp_path,
+                                                        monkeypatch):
+        """A monolith checkpoint resumed under auto must STAY a monolith
+        even when the threshold would now prefer a bank — auto never
+        mixes geometries mid-build."""
+        import sketchlib.checkpoint as ck
+        from sketchlib.agg import BuildResult
+
+        df = _li(spark, sf_smoke)
+        spec = bloom_spec(df.count(), 0.01)
+        ckpt = str(tmp_path / "auto_resume")
+        partial = checkpointed_build(df, "l_orderkey", spec,
+                                     route_cols=ROUTE, num_shards=SHARDS,
+                                     ckpt_dir=ckpt, shard_sized=False,
+                                     max_shards_per_run=5)
+        assert partial is None  # mid-build monolith checkpoint on disk
+        monkeypatch.setattr(ck, "_BANK_AUTO_M_BYTES", 64)  # bank-everything
+        done = checkpointed_build(df, "l_orderkey", spec,
+                                  route_cols=ROUTE, num_shards=SHARDS,
+                                  ckpt_dir=ckpt)  # auto default
+        assert isinstance(done, BuildResult)
+        one_shot = checkpointed_build(df, "l_orderkey", spec,
+                                      route_cols=ROUTE, num_shards=SHARDS,
+                                      ckpt_dir=str(tmp_path / "auto_ref"),
+                                      shard_sized=False)
+        assert done.state_bytes == one_shot.state_bytes
