@@ -610,36 +610,47 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
 FROM events GROUP BY 1
 """)
 def kll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rollup_states over a NON-idempotent sketch: hourly KLL quantile
-    states merged to days executor-side; each day's median estimate must
-    sit within KLL's rank-error bound of the exact day median.  (HLL
-    rollup is max-merge and order-free; KLL merge compacts — this gates
-    that the rollup path preserves the rank guarantee too.)"""
-    from .agg import rollup_states
+    """Hour->day rollup over a NON-idempotent sketch: per-hour KLL
+    quantile states merged into day states executor-side (fused single
+    grouped pass — partials -> hour states -> day state inside one task,
+    the rollup merge order preserved); each day's median estimate must sit
+    within KLL's rank-error bound of the exact day median.  (HLL rollup is
+    max-merge and order-free; KLL merge compacts — this gates that the
+    rollup path preserves the rank guarantee too.)
+
+    The verify side is pure JVM: exact 45th/55th percentiles per day in
+    one aggregation (no python stage, no second broadcast-join scan); ok
+    additionally gates the hour fan-in against the exact distinct-hour
+    count and row conservation through the sketch path."""
+    from .agg import sketch_grouped_rollup
 
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    hours = sketch_grouped(
-        ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
-        ["hour"], "value", kll_spec(k=200), strategy="local_combine")
-    days = rollup_states(
-        hours.withColumn("day", F.date_trunc("day", F.col("hour"))),
-        ["day"], kll_spec(k=200))
-    # estimated medians (30 tiny rows to the driver), then ONE pass over
-    # events computes every day's exact rank of its estimate
-    meds = [(r["day"], float(KLL.quantile(
-        KLL.deserialize(bytes(r["state"])), 0.5)))
-        for r in days.collect()]
-    med_df = spark.createDataFrame(meds, "day timestamp, med double")
-    ranked = (ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "value")
-              .join(F.broadcast(med_df), "day")
-              .groupBy("day")
+    proj = ev.select(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                     F.date_trunc("day", F.col("ts")).alias("day"),
+                     "value")
+    days = sketch_grouped_rollup(proj, ["hour"], ["day"], "value",
+                                 kll_spec(k=200))
+    # estimated medians: 30 tiny rows to the driver
+    meds = [(r["day"],
+             float(KLL.quantile(KLL.deserialize(bytes(r["state"])), 0.5)),
+             int(r["n"]), int(r["fine_groups"]))
+            for r in days.collect()]
+    med_df = spark.createDataFrame(
+        meds, "day timestamp, med double, sketch_n long, hours int")
+    # exact rank check: est median within the exact [q45, q55] band
+    # (percentile is Spark's EXACT percentile — KLL rank error at k=200 is
+    # ~1.7%, well inside the 5% band)
+    bounds = (proj.groupBy("day")
               .agg(F.count("value").alias("n_values"),
-                   F.sum((F.col("value") <= F.col("med")).cast("long"))
-                   .alias("below")))
-    # KLL rank error ~1.7% at k=200; allow generous slack for merged states
-    return ranked.select(
-        "day", F.col("n_values").cast("long"),
-        (F.abs(F.col("below") / F.col("n_values") - 0.5) <= 0.05).alias("ok"))
+                   F.countDistinct("hour").alias("exact_hours"),
+                   F.expr("percentile(value, array(0.45, 0.55))")
+                   .alias("b")))
+    return (bounds.join(F.broadcast(med_df), "day")
+            .select("day", F.col("n_values").cast("long"),
+                    ((F.col("med") >= F.col("b")[0])
+                     & (F.col("med") <= F.col("b")[1])
+                     & (F.col("hours") == F.col("exact_hours"))
+                     & (F.col("sketch_n") == F.col("n_values"))).alias("ok")))
 
 
 @register("stream_windowed_users", """

@@ -212,6 +212,30 @@ class TestRollupStates:
                                           strategy="local_combine").collect()}
         assert rolled == direct
 
+    def test_fused_rollup_matches_two_call_form(self, spark):
+        """sketch_grouped_rollup (one grouped pass) must agree with
+        sketch_grouped -> rollup_states on states, counts, and fan-in: the
+        fusion is a physical-plan change only."""
+        from sketchlib.agg import (rollup_states, sketch_grouped,
+                                   sketch_grouped_rollup)
+
+        spec = hll_spec(p=8)
+        df = (spark.range(0, 100_000, 1, 16)
+              .withColumn("fine", F.col("id") % 400)
+              .withColumn("coarse", F.col("fine") % 20)
+              .withColumn("v", F.col("id") % 7_000))
+        fused = {r["coarse"]: (bytes(r["state"]), r["n"], r["fine_groups"])
+                 for r in sketch_grouped_rollup(
+                     df, ["fine"], ["coarse"], "v", spec).collect()}
+        fine = sketch_grouped(df, ["fine", "coarse"], "v", spec,
+                              strategy="local_combine")
+        two_call = {r["coarse"]: (bytes(r["state"]), r["n"])
+                    for r in rollup_states(fine, ["coarse"], spec).collect()}
+        assert set(fused) == set(two_call) and len(fused) == 20
+        for k, (state, n, fine_groups) in fused.items():
+            assert (state, n) == two_call[k]
+            assert fine_groups == 20  # 400 fine groups over 20 coarse
+
 
 def test_probe_state_memo_one_deserialize_per_state():
     """Probe UDFs memoize the deserialized broadcast state per worker
