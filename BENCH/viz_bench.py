@@ -176,6 +176,47 @@ def _fmt_capacity() -> list[str]:
     return out
 
 
+def _fmt_ab_pairs() -> list[str]:
+    """Matched-phase A/B panel: artifacts written by
+    `build_sketches.py --ab-bloom` interleave monolith and bank arms in
+    one session, so each pair's ratio is phase-matched by construction
+    (two separate runs minutes apart are not — their VM phase shifts)."""
+    import glob
+    out: list[str] = []
+    for p in sorted(glob.glob(os.path.join(_BENCH_DIR, "capacity_*.json"))):
+        with open(p) as f:
+            d = json.load(f)
+        pairs = d.get("ab_pairs")
+        if not pairs:
+            continue
+        if not out:
+            out = ["## Matched-phase monolith vs bank (interleaved A/B "
+                   "pairs)", "",
+                   "| run | pair | mono sketch s | bank sketch s | "
+                   "sketch win | mono pipe s | bank pipe s | pipe win | "
+                   "probe GB/s (mono→bank) |",
+                   "|---|---:|---:|---:|---:|---:|---:|---:|---:|"]
+        name = (os.path.basename(p).removeprefix("capacity_")
+                .removesuffix(".json"))
+        for k, pr in enumerate(pairs, 1):
+            m, b = pr["monolith"], pr["bank"]
+            probes = (f"{m['probe_after'].get('stream_gbps_mt', 0):.0f}"
+                      f"→{b['probe_after'].get('stream_gbps_mt', 0):.0f}")
+            out.append(
+                f"| {name} | {k} | {m['stages']['sketches']:.1f} | "
+                f"{b['stages']['sketches']:.1f} | {pr['sketch_win']:.2f}x | "
+                f"{m['pipeline_secs']:.1f} | {b['pipeline_secs']:.1f} | "
+                f"{pr['pipeline_win']:.2f}x | {probes} |")
+    if out:
+        out.append("")
+        out.append("Each row's two arms ran back-to-back in one session "
+                   "with a probe after each — the win columns are the "
+                   "phase-matched comparison; cross-pair spread shows how "
+                   "much phase moves even within a session.")
+        out.append("")
+    return out
+
+
 def main(argv: list[str]) -> None:
     paths = argv or [os.path.join(_BENCH_DIR, "bench_latest.json")]
     runs: list[tuple[str, dict]] = []
@@ -193,6 +234,7 @@ def main(argv: list[str]) -> None:
     lines.extend(_fmt_compare(runs))
     lines.extend(_fmt_scaling())
     lines.extend(_fmt_capacity())
+    lines.extend(_fmt_ab_pairs())
     lines.append("## Error rates / bits per item "
                  "(viz_benchmark.py:42-77 analogue)")
     lines.append("")

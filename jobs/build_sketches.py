@@ -72,6 +72,14 @@ def main() -> None:
                     help="force the monolithic (mergeable) Bloom even "
                          "when auto would pick the bank — for A/B "
                          "capacity comparisons")
+    ap.add_argument("--ab-bloom", action="store_true",
+                    help="interleave monolith and bank pipelines in ONE "
+                         "session (reps pairs: mono, bank, mono, bank "
+                         "...), with a machine probe after every arm — "
+                         "each pair shares its VM phase, so the per-pair "
+                         "sketch-stage ratio is a matched comparison "
+                         "that two separate runs minutes apart cannot "
+                         "give (their phase may shift in between)")
     ap.add_argument("--reps", type=int, default=2,
                 help="timed pipeline repetitions; best-of is reported")
     ap.add_argument("--out", default=None, help="also write the JSON here")
@@ -83,6 +91,10 @@ def main() -> None:
     if args.sharded_bloom is not None and args.monolith_bloom:
         ap.error("--sharded-bloom and --monolith-bloom are mutually "
                  "exclusive")
+    if args.ab_bloom and (args.sharded_bloom is not None
+                          or args.monolith_bloom or args.checkpoint_dir):
+        ap.error("--ab-bloom runs both modes itself; it is incompatible "
+                 "with --sharded-bloom/--monolith-bloom/--checkpoint-dir")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -242,7 +254,9 @@ def main() -> None:
         # the real checkpoint: tiny-spec state would conflict with the
         # real shard plan).
         predicted = None
-        if args.monolith_bloom:
+        if args.ab_bloom:
+            predicted = "both"
+        elif args.monolith_bloom:
             predicted = "monolith"
         elif args.sharded_bloom is not None:
             predicted = "bank"
@@ -254,10 +268,16 @@ def main() -> None:
             import tempfile
             warm_ck = tempfile.mkdtemp(prefix="warmck_")
         try:
-            run_pipeline(None if flat_in is not None
-                         else make_pages(min(20_000, args.pages)),
-                         flat_input=warm_in, force_mode=predicted,
-                         ckpt=warm_ck)
+            warm_pages = (None if flat_in is not None
+                          else make_pages(min(20_000, args.pages)))
+            if predicted == "both":  # A/B: warm both arms' code paths
+                run_pipeline(warm_pages, flat_input=warm_in,
+                             force_mode="monolith", ckpt=warm_ck)
+                run_pipeline(warm_pages, flat_input=warm_in,
+                             force_mode="bank", ckpt=warm_ck)
+            else:
+                run_pipeline(warm_pages, flat_input=warm_in,
+                             force_mode=predicted, ckpt=warm_ck)
         finally:
             if warm_ck is not None:
                 shutil.rmtree(warm_ck, ignore_errors=True)
@@ -273,6 +293,63 @@ def main() -> None:
             return args.checkpoint_dir
 
         pages = None if flat_in is not None else make_pages(args.pages)
+
+        if args.ab_bloom:
+            # Interleaved A/B: each (monolith, bank) pair runs back-to-back
+            # in the same session with a probe after every arm, so the
+            # per-pair sketch-stage ratio is phase-matched by construction.
+            ab_pairs = []
+            metrics: dict[str, object] = {}
+            n_pages = 0
+            for k in range(args.reps):
+                pair = {}
+                for mode in ("monolith", "bank"):
+                    st, m, n_pages = run_pipeline(pages, flat_input=flat_in,
+                                                  force_mode=mode)
+                    pair[mode] = {"stages": st,
+                                  "pipeline_secs": round(sum(st.values()), 3),
+                                  "probe_after": env_probe()}
+                    if mode == "bank" and not metrics:
+                        metrics = m  # bank-arm metrics (bits/item, modes)
+                pair["sketch_win"] = round(
+                    pair["monolith"]["stages"]["sketches"]
+                    / pair["bank"]["stages"]["sketches"], 3)
+                pair["pipeline_win"] = round(
+                    pair["monolith"]["pipeline_secs"]
+                    / pair["bank"]["pipeline_secs"], 3)
+                ab_pairs.append(pair)
+            wins = [p["sketch_win"] for p in ab_pairs]
+            best_bank = min((p["bank"] for p in ab_pairs),
+                            key=lambda a: a["pipeline_secs"])
+            out = {
+                "pages": n_pages,
+                "cores": cores,
+                "env_probe_start": probe_start,
+                "env_probe": env_probe(),
+                "partitions": parts,
+                "reps": args.reps,
+                # headline fields = best bank arm, so capacity views keep
+                # rendering; the matched evidence is ab_pairs
+                "stages": best_bank["stages"],
+                "pipeline_secs": best_bank["pipeline_secs"],
+                "pages_per_sec": round(
+                    n_pages / best_bank["pipeline_secs"], 1),
+                "sketch_rows_per_sec": round(
+                    5 * n_pages / best_bank["stages"]["sketches"], 1),
+                "ab_pairs": ab_pairs,
+                "sketch_win_range": [min(wins), max(wins)],
+                **metrics,
+            }
+            out["bloom_mode"] = "ab"
+            out["bloom_mode_reason"] = ("interleaved monolith/bank pairs; "
+                                        "headline stages = best bank arm")
+            line = json.dumps(out)
+            print(line)
+            if args.out:
+                with open(args.out, "w") as f:
+                    f.write(line + "\n")
+            return
+
         best_stages, metrics, n_pages = run_pipeline(pages,
                                                      flat_input=flat_in,
                                                      ckpt=ckpt_for(0))
