@@ -26,6 +26,15 @@ patterns our kernels are made of:
 All legs are numpy with fixed sizes and a fixed seed-free index pattern
 (an LCG ramp), so the work is identical every run and machine-phase is
 the only variable. Total budget ~1 s per call in a healthy phase.
+
+Interpretation caveat (measured round 5): six back-to-back probes on
+an otherwise-idle machine read mt-stream 48.0, 40.3, 4.6, 10.7, 30.7,
+34.1 GB/s — the contended phase oscillates ~10x at sub-minute
+timescale, faster than a multi-minute benchmark run. A single probe
+is therefore a sample, not a state; bracketing (start+end) detects a
+swing only if it persists across the bracket, and comparisons should
+pool multiple interleaved samples (see --ab-bloom in
+jobs/build_sketches.py) rather than trust any one bracketed run.
 """
 
 from __future__ import annotations
