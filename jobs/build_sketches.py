@@ -74,16 +74,20 @@ def main() -> None:
                          "capacity comparisons")
     ap.add_argument("--ab-bloom", action="store_true",
                     help="interleave monolith and bank pipelines in ONE "
-                         "session (reps pairs: mono, bank, mono, bank "
-                         "...), with a machine probe after every arm — "
-                         "each pair shares its VM phase, so the per-pair "
-                         "sketch-stage ratio is a matched comparison "
-                         "that two separate runs minutes apart cannot "
-                         "give (their phase may shift in between)")
+                         "session (reps ABBA-ordered pairs: mono,bank / "
+                         "bank,mono / ...), with a machine probe after "
+                         "every arm — each pair shares its VM phase, so "
+                         "the per-pair sketch-stage ratio is a matched "
+                         "comparison, and alternating which arm runs "
+                         "first cancels monotonic in-session drift "
+                         "across pairs")
     ap.add_argument("--reps", type=int, default=2,
                 help="timed pipeline repetitions; best-of is reported")
     ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1 (0 would run the full warmup, then "
+                 "crash summarizing an empty rep list)")
     if args.sharded_bloom is not None and args.sharded_bloom != -1 \
             and args.sharded_bloom < 1:
         ap.error("--sharded-bloom needs S >= 1 (0 would silently fall "
@@ -188,6 +192,22 @@ def main() -> None:
             mode, why = (force_mode, "warmup mirrors real mode") \
                 if force_mode else bloom_mode(bspec)
             metrics["bloom_mode"], metrics["bloom_mode_reason"] = mode, why
+            if ckpt is not None:
+                # a pre-existing manifest (e.g. the same --checkpoint-dir
+                # reused across INVOCATIONS — the per-rep rep{k}/ subdirs
+                # only isolate reps within one run) means this rep resumes
+                # instead of building, so its "sketches" time omits some
+                # or all of the Bloom cost: mark it in the artifact
+                from sketchlib.checkpoint import load_manifest
+                prior = load_manifest(ckpt)
+                if prior is not None:
+                    metrics["bloom_resumed"] = True
+                    metrics["bloom_unbuilt_shards"] = len(prior.missing)
+                    if not prior.missing:
+                        print(f"WARNING: checkpoint at {ckpt} is already "
+                              "complete; the Bloom build is skipped and "
+                              "this rep's 'sketches' time omits it",
+                              file=sys.stderr)
             tmp_ck = None
             try:
                 if mode == "bank":
@@ -253,15 +273,25 @@ def main() -> None:
         # run's mode and force it (against a throwaway temp dir, never
         # the real checkpoint: tiny-spec state would conflict with the
         # real shard plan).
-        predicted = None
         if args.ab_bloom:
             predicted = "both"
         elif args.monolith_bloom:
             predicted = "monolith"
         elif args.sharded_bloom is not None:
             predicted = "bank"
-        elif flat_in is None and not args.sf_dir:
-            predicted = bloom_mode(bloom_spec(args.pages, 0.01))[0]
+        else:
+            # auto mode: predict from the REAL input's row count (not the
+            # 20k-row warmup sample) so the warmup exercises the same code
+            # path the timed reps will take — a --flat-parquet input big
+            # enough for auto to pick the bank must warm the bank's
+            # checkpoint write/read-back path, not the monolith's
+            if flat_in is not None:
+                real_n = flat_in.count()
+            elif args.sf_dir:
+                real_n = make_pages(None).count()
+            else:
+                real_n = args.pages
+            predicted = bloom_mode(bloom_spec(real_n, 0.01))[0]
         warm_ck = None
         if args.checkpoint_dir and predicted != "bank":
             import shutil
@@ -303,7 +333,14 @@ def main() -> None:
             n_pages = 0
             for k in range(args.reps):
                 pair = {}
-                for mode in ("monolith", "bank"):
+                # ABBA: alternate which arm runs first so monotonic
+                # in-session drift (measured: the 8 GiB monolith slowed
+                # 42->74->186 s across reps while the bank held) cancels
+                # across pairs instead of biasing every ratio one way
+                order = (("monolith", "bank") if k % 2 == 0
+                         else ("bank", "monolith"))
+                pair["order"] = "->".join(order)
+                for mode in order:
                     st, m, n_pages = run_pipeline(pages, flat_input=flat_in,
                                                   force_mode=mode)
                     pair[mode] = {"stages": st,
@@ -355,15 +392,19 @@ def main() -> None:
                                                      ckpt=ckpt_for(0))
         best_total = sum(best_stages.values())
         all_reps = [best_stages]
+        resumed = [bool(metrics.get("bloom_resumed", False))]
         for k in range(1, args.reps):
             st, _m, _n = run_pipeline(pages, flat_input=flat_in,
                                       ckpt=ckpt_for(k))
             all_reps.append(st)
+            resumed.append(bool(_m.get("bloom_resumed", False)))
             if sum(st.values()) < best_total:
                 best_stages, best_total = st, sum(st.values())
         # every rep's stage times, so the headline best-of is auditable
         # (and rep-to-rep drift under memory pressure is visible)
         metrics["rep_stages"] = all_reps
+        if any(resumed):  # which reps' sketch times omit (part of) the
+            metrics["rep_resumed"] = resumed  # Bloom build via resume
 
         out = {
             "pages": n_pages,

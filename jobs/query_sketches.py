@@ -58,6 +58,7 @@ def main() -> None:
         print(json.dumps({
             "spec": {"kind": manifest.spec_kind, **manifest.spec_cfg},
             "num_shards": manifest.num_shards,
+            "shard_sized": manifest.shard_sized,
             "rows": sum(v["n"] for v in manifest.shards.values()),
             "rounds": manifest.rounds,
         }, indent=1))
@@ -86,7 +87,16 @@ def main() -> None:
         if spec.kind != "bloom":
             raise SystemExit("membership probe needs a bloom checkpoint; "
                              f"found {spec.kind}")
-        if args.sharded:
+        if args.sharded or manifest.shard_sized:
+            # a shard-sized bank has no merged form (each shard is sized
+            # for its own keys; merging would break the FPP math), so the
+            # routed probe is the only valid shape — auto-detect it from
+            # the manifest instead of dying in _finalize when the caller
+            # forgets --sharded on a checkpoint that auto-mode built as a
+            # bank (jobs/build_sketches.py default since round 5)
+            if manifest.shard_sized and not args.sharded:
+                print("note: checkpoint is a shard-sized bank; "
+                      "probing routed", file=sys.stderr)
             hits = sharded_contains(probes, args.probe_col,
                                     args.checkpoint_dir)
         else:

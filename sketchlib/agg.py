@@ -753,6 +753,34 @@ def rollup_states(states: DataFrame, coarse_cols: list[str],
         .applyInPandas(merge_group, out_schema)
 
 
+def _map_side_combine(spec: SketchSpec, key_cols: list[str]):
+    """mapInPandas closure: fold each partition's ``__v`` values into one
+    sketch partial per key (the map-side combine both
+    ``sketch_grouped(strategy="local_combine")`` and
+    ``sketch_grouped_rollup`` shuffle instead of raw rows)."""
+    ops = spec.ops
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, list] = {}  # key -> [state, n]
+        for pdf in batches:
+            for key, sub in pdf.groupby(key_cols, sort=False, dropna=False):
+                k = key if isinstance(key, tuple) else (key,)
+                vals = _series_values(sub["__v"])
+                ent = acc.get(k)
+                if ent is None:
+                    ent = acc[k] = [spec.create(), 0]
+                ent[0] = ops.update(ent[0], vals)
+                ent[1] += len(vals)
+        if acc:
+            keys = list(acc)
+            out = {c: [k[i] for k in keys] for i, c in enumerate(key_cols)}
+            out["state"] = [ops.serialize(acc[k][0]) for k in keys]
+            out["n"] = [acc[k][1] for k in keys]
+            yield pd.DataFrame(out)
+
+    return combine
+
+
 def sketch_grouped_rollup(df: DataFrame, fine_cols: list[str],
                           coarse_cols: list[str], value_col: str,
                           spec: SketchSpec) -> DataFrame:
@@ -791,28 +819,8 @@ def sketch_grouped_rollup(df: DataFrame, fine_cols: list[str],
     from .textops import widen
 
     sel = widen(df).select(*fcols, *ccols, F.col(value_col).alias("__v"))
-
-    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[tuple, list] = {}  # (fine..., coarse...) -> [state, n]
-        for pdf in batches:
-            for key, sub in pdf.groupby([*fcols, *ccols], sort=False,
-                                        dropna=False):
-                k = key if isinstance(key, tuple) else (key,)
-                vals = _series_values(sub["__v"])
-                ent = acc.get(k)
-                if ent is None:
-                    ent = acc[k] = [spec.create(), 0]
-                ent[0] = ops.update(ent[0], vals)
-                ent[1] += len(vals)
-        if acc:
-            keys = list(acc)
-            cols = [*fcols, *ccols]
-            out = {c: [k[i] for k in keys] for i, c in enumerate(cols)}
-            out["state"] = [ops.serialize(acc[k][0]) for k in keys]
-            out["n"] = [acc[k][1] for k in keys]
-            yield pd.DataFrame(out)
-
-    partials = sel.mapInPandas(combine, partial_schema)
+    partials = sel.mapInPandas(_map_side_combine(spec, [*fcols, *ccols]),
+                               partial_schema)
 
     def merge_coarse(key, pdf):
         fine_states = [reduce(ops.merge, (ops.deserialize(b)
@@ -840,26 +848,8 @@ def _sketch_grouped_local(df: DataFrame, group_cols: list[str],
     final_schema = partial_schema
 
     sel = df.select(*gcols, F.col(value_col).alias("__v"))
-
-    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[tuple, list] = {}  # group key -> [state, n]
-        for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
-                k = key if isinstance(key, tuple) else (key,)
-                vals = _series_values(sub["__v"])
-                ent = acc.get(k)
-                if ent is None:
-                    ent = acc[k] = [spec.create(), 0]
-                ent[0] = ops.update(ent[0], vals)
-                ent[1] += len(vals)
-        if acc:
-            keys = list(acc)
-            out = {c: [k[i] for k in keys] for i, c in enumerate(gcols)}
-            out["state"] = [ops.serialize(acc[k][0]) for k in keys]
-            out["n"] = [acc[k][1] for k in keys]
-            yield pd.DataFrame(out)
-
-    partials = sel.mapInPandas(combine, partial_schema)
+    partials = sel.mapInPandas(_map_side_combine(spec, gcols),
+                               partial_schema)
 
     def merge_group(key, pdf):
         states = [ops.deserialize(b) for b in pdf["state"]]
@@ -884,10 +874,16 @@ def _sketch_grouped_local(df: DataFrame, group_cols: list[str],
 #: ONCE per worker instead of once per Arrow batch (round-3 verdict
 #: finding #2: probe cost should be state-size-insensitive).  Sketch
 #: states are immutable under probes (contains/estimate never write), so
-#: sharing one deserialized object across batches is safe.  Bounded LRU:
-#: long sessions probing many states evict oldest-first.
-_PROBE_MEMO: dict = {}
-_PROBE_MEMO_MAX = 8
+#: sharing one deserialized object across batches is safe.  Bounded LRU,
+#: charged by blob size rather than entry count: a shard-sized bank probes
+#: S = 4x-cores distinct blobs per worker, so any small count bound would
+#: thrash and re-deserialize every blob each job — but a bank's TOTAL
+#: deserialized bytes stay ~ one m(n) by construction, so a bytes budget
+#: holds an entire bank while still evicting when a session cycles many
+#: unrelated large states.
+_PROBE_MEMO: dict = {}  # key -> state; insertion order = LRU order
+_PROBE_MEMO_MAX_BYTES = 256 << 20
+_PROBE_MEMO_MAX_ENTRIES = 1024  # floods of tiny states stay count-bounded
 _probe_memo_deserializes = 0  # test hook: counts actual deserialize calls
 
 
@@ -895,12 +891,19 @@ def _memo_deserialize(ops, buf: bytes):
     global _probe_memo_deserializes
     key = (ops.name, len(buf), hash(buf))
     state = _PROBE_MEMO.get(key)
-    if state is None:
-        state = ops.deserialize(buf)
-        _probe_memo_deserializes += 1
-        _PROBE_MEMO[key] = state
-        while len(_PROBE_MEMO) > _PROBE_MEMO_MAX:  # dicts iterate in
-            del _PROBE_MEMO[next(iter(_PROBE_MEMO))]  # insertion order
+    if state is not None:
+        _PROBE_MEMO[key] = _PROBE_MEMO.pop(key)  # refresh LRU position
+        return state
+    state = ops.deserialize(buf)
+    _probe_memo_deserializes += 1
+    _PROBE_MEMO[key] = state
+    # key[1] = serialized length; recomputing the total keeps the budget
+    # consistent even if a caller clears the dict directly, and the entry
+    # count is bounded so the sum stays cheap
+    while len(_PROBE_MEMO) > 1 and (
+            len(_PROBE_MEMO) > _PROBE_MEMO_MAX_ENTRIES
+            or sum(k[1] for k in _PROBE_MEMO) > _PROBE_MEMO_MAX_BYTES):
+        del _PROBE_MEMO[next(iter(_PROBE_MEMO))]  # oldest-first
     return state
 
 

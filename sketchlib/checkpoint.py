@@ -212,12 +212,10 @@ def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
     auto never turns a half-built monolith into a mixed-geometry bank or
     vice versa."""
     spark = df.sparkSession
+    state = load_manifest(ckpt_dir)  # one read serves auto-mode + resume
     if shard_sized == "auto":
-        prior = load_manifest(ckpt_dir)
-        if prior is not None:
-            shard_sized = prior.shard_sized
-        else:
-            shard_sized = prefer_shard_sized(spec)
+        shard_sized = (state.shard_sized if state is not None
+                       else prefer_shard_sized(spec))
     if shard_sized:
         if spec.kind != "bloom":
             raise ValueError("shard_sized banks are bloom-only: other "
@@ -225,7 +223,6 @@ def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
                              "does not shrink")
         spec = _shard_spec(spec, num_shards)
     os.makedirs(ckpt_dir, exist_ok=True)
-    state = load_manifest(ckpt_dir)
     if state is not None and not state.compatible_with(
             spec, num_shards, route_cols, col, shard_sized):
         raise ValueError(f"checkpoint at {ckpt_dir} was written for a "

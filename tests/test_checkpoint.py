@@ -304,6 +304,38 @@ class TestShardSizedBank:
                                ckpt_dir=str(tmp_path / "bankk"),
                                shard_sized=True)
 
+    def test_query_job_autodetects_bank(self, spark, sf_smoke, tmp_path):
+        """jobs/query_sketches.py on a bank checkpoint WITHOUT --sharded
+        must auto-route from the manifest's shard_sized flag instead of
+        dying in _finalize (auto-mode builds banks by default since round
+        5, so a caller cannot be expected to know the recorded mode)."""
+        import subprocess
+        import sys
+
+        df, spec, bank = self._bank(spark, sf_smoke, tmp_path, "bankq")
+        probes = str(tmp_path / "probes.parquet")
+        df.select("l_orderkey").distinct().limit(50).write.parquet(probes)
+        job = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "jobs", "query_sketches.py")
+
+        r = subprocess.run(
+            [sys.executable, job, "--checkpoint-dir", bank.ckpt_dir,
+             "--stats-only"], capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert json.loads(r.stdout)["shard_sized"] is True
+
+        out = str(tmp_path / "hits")
+        r = subprocess.run(
+            [sys.executable, job, "--checkpoint-dir", bank.ckpt_dir,
+             "--probe-parquet", probes, "--probe-col", "l_orderkey",
+             "--out", out], capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "probing routed" in r.stderr
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        assert res["probes"] == 50
+        assert res["members"] == 50  # zero FN through the routed path
+
     def test_probe_state_memo_one_deserialize_per_shard_blob(
             self, spark, sf_smoke, tmp_path):
         """sharded_contains routes per-shard blob deserialization through
@@ -326,10 +358,12 @@ class TestShardSizedBank:
         ops = bank.spec.ops
         aggmod._PROBE_MEMO.clear()
         base = aggmod._probe_memo_deserializes
-        probe_n = min(len(blobs), aggmod._PROBE_MEMO_MAX)
-        for b in blobs[:probe_n] * 3:  # 3 probe rounds over the same bank
+        # the memo is bytes-bounded (not count-bounded), so EVERY shard
+        # blob of the bank stays resident: one deserialize each, ever,
+        # across repeated probe rounds
+        for b in blobs * 3:  # 3 probe rounds over the same bank
             aggmod._memo_deserialize(ops, b)
-        assert aggmod._probe_memo_deserializes == base + probe_n
+        assert aggmod._probe_memo_deserializes == base + len(blobs)
 
         probes = df.select("l_orderkey").limit(500)
         first = sorted((r["l_orderkey"], r["member"]) for r in

@@ -30,6 +30,18 @@ def test_sharded_and_monolith_mutually_exclusive():
     assert "mutually exclusive" in r.stderr
 
 
+def test_reps_below_one_rejected():
+    """--reps 0 used to run the full warmup, then crash with a raw
+    ValueError summarizing an empty rep list (--ab-bloom) or silently
+    behave like 1 (plain mode) — now both reject up front."""
+    for mode in ([], ["--ab-bloom"]):
+        r = _run("--pages", "100", "--reps", "0", *mode)
+        assert r.returncode == 2, mode
+        assert "--reps must be >= 1" in r.stderr, mode
+        r = _run("--pages", "100", "--reps", "-1", *mode)
+        assert r.returncode == 2, mode
+
+
 def test_ab_bloom_rejects_mode_and_checkpoint_flags():
     """--ab-bloom owns both modes and its own throwaway checkpoints; a
     forced mode or durable checkpoint dir would break the interleaving."""
@@ -38,3 +50,29 @@ def test_ab_bloom_rejects_mode_and_checkpoint_flags():
         r = _run("--pages", "100", "--ab-bloom", *extra)
         assert r.returncode == 2, extra
         assert "incompatible" in r.stderr, extra
+
+
+def test_reusing_completed_checkpoint_is_marked(tmp_path):
+    """Re-invoking the job against an already-complete --checkpoint-dir
+    resumes (= skips) the Bloom build — that is the resume feature — but
+    the artifact must SAY so: an unmarked Bloom-free 'sketches' time is
+    indistinguishable from a real one in benchmark comparisons (the
+    rep{k}/ subdirs only isolate reps within one invocation)."""
+    import json
+
+    ck = str(tmp_path / "ck")
+
+    def run_once(out):
+        r = subprocess.run(
+            [sys.executable, JOB, "--pages", "2000", "--reps", "1",
+             "--checkpoint-dir", ck, "--out", out],
+            capture_output=True, text=True, timeout=240)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.load(open(out)), r.stderr
+
+    first, _ = run_once(str(tmp_path / "r1.json"))
+    assert "bloom_resumed" not in first
+    second, err = run_once(str(tmp_path / "r2.json"))
+    assert second["bloom_resumed"] is True
+    assert second["rep_resumed"] == [True]
+    assert "already complete" in err

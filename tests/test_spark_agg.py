@@ -264,9 +264,31 @@ def test_probe_state_memo_one_deserialize_per_state():
     assert (BLOOM.contains(s_a, probes)
             == BLOOM.contains(BLOOM.deserialize(b1), probes)).all()
 
-    # LRU bound: flooding with distinct states never grows past the cap
-    for i in range(2 * aggmod._PROBE_MEMO_MAX):
+    # Bytes-bounded LRU: a full bank's worth of distinct shard blobs
+    # (S = 4 x cores on a 32-core box) stays resident — each deserializes
+    # exactly once across repeated probe rounds (a count bound of 8 here
+    # would thrash and re-deserialize every blob per round)
+    blobs = []
+    for i in range(128):
         st = BLOOM.update(BLOOM.create(64, 0.01),
                           np.arange(i + 1, dtype=np.int64))
-        aggmod._memo_deserialize(BLOOM, BLOOM.serialize(st))
-    assert len(aggmod._PROBE_MEMO) <= aggmod._PROBE_MEMO_MAX
+        blobs.append(BLOOM.serialize(st))
+    aggmod._PROBE_MEMO.clear()
+    base = aggmod._probe_memo_deserializes
+    for b in blobs * 3:
+        aggmod._memo_deserialize(BLOOM, b)
+    assert aggmod._probe_memo_deserializes == base + len(blobs)
+
+    # past the byte budget, oldest entries evict and the charged total
+    # stays within budget
+    old_budget = aggmod._PROBE_MEMO_MAX_BYTES
+    try:
+        aggmod._PROBE_MEMO_MAX_BYTES = sum(len(b) for b in blobs[:16])
+        aggmod._PROBE_MEMO.clear()
+        for b in blobs:
+            aggmod._memo_deserialize(BLOOM, b)
+        assert sum(k[1] for k in aggmod._PROBE_MEMO) \
+            <= aggmod._PROBE_MEMO_MAX_BYTES
+        assert len(aggmod._PROBE_MEMO) < len(blobs)
+    finally:
+        aggmod._PROBE_MEMO_MAX_BYTES = old_budget
