@@ -192,18 +192,22 @@ def _fmt_ab_pairs() -> list[str]:
         if not out:
             out = ["## Matched-phase monolith vs bank (interleaved A/B "
                    "pairs)", "",
-                   "| run | pair | mono sketch s | bank sketch s | "
+                   "| run | pair | order | mono sketch s | bank sketch s | "
                    "sketch win | mono pipe s | bank pipe s | pipe win | "
                    "probe GB/s (mono→bank) |",
-                   "|---|---:|---:|---:|---:|---:|---:|---:|---:|"]
+                   "|---|---:|---|---:|---:|---:|---:|---:|---:|---:|"]
         name = (os.path.basename(p).removeprefix("capacity_")
                 .removesuffix(".json"))
         for k, pr in enumerate(pairs, 1):
             m, b = pr["monolith"], pr["bank"]
             probes = (f"{m['probe_after'].get('stream_gbps_mt', 0):.0f}"
                       f"→{b['probe_after'].get('stream_gbps_mt', 0):.0f}")
+            # pre-ABBA artifacts always ran monolith first
+            order = pr.get("order", "monolith->bank")
+            order = "M→B" if order.startswith("monolith") else "B→M"
             out.append(
-                f"| {name} | {k} | {m['stages']['sketches']:.1f} | "
+                f"| {name} | {k} | {order} | "
+                f"{m['stages']['sketches']:.1f} | "
                 f"{b['stages']['sketches']:.1f} | {pr['sketch_win']:.2f}x | "
                 f"{m['pipeline_secs']:.1f} | {b['pipeline_secs']:.1f} | "
                 f"{pr['pipeline_win']:.2f}x | {probes} |")
