@@ -99,6 +99,11 @@ def main() -> None:
                           or args.monolith_bloom or args.checkpoint_dir):
         ap.error("--ab-bloom runs both modes itself; it is incompatible "
                  "with --sharded-bloom/--monolith-bloom/--checkpoint-dir")
+    if args.ab_bloom and args.reps % 2:
+        ap.error("--ab-bloom needs an even --reps: pairs alternate "
+                 "mono-first / bank-first (ABBA) so monotonic in-session "
+                 "drift cancels; an odd count leaves one arm running "
+                 "first more often and biases the pooled ratio")
 
     from pyspark.sql import SparkSession, functions as F
 

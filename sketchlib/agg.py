@@ -783,7 +783,7 @@ def _map_side_combine(spec: SketchSpec, key_cols: list[str]):
 
 def sketch_grouped_rollup(df: DataFrame, fine_cols: list[str],
                           coarse_cols: list[str], value_col: str,
-                          spec: SketchSpec) -> DataFrame:
+                          spec: SketchSpec, fan_out: int = 1) -> DataFrame:
     """``sketch_grouped(fine) -> rollup_states(coarse)`` fused into ONE
     grouped pass: map-side combine builds per-partition partials keyed on
     the FINE grouping, then a single shuffle lands each coarse group's
@@ -803,10 +803,29 @@ def sketch_grouped_rollup(df: DataFrame, fine_cols: list[str],
     fine_groups int) — ``fine_groups`` is the number of distinct fine
     groups merged into each coarse state, so callers can gate the fan-in
     against an exact count.  Shuffle volume is partials-only (P x G_fine
-    blobs, never raw rows), same as the two-call form's first stage.
+    blobs, never raw rows), same as the two-call form's first stage —
+    but the CONCENTRATION differs: each coarse task materializes all
+    P x fan_in partial blobs of its group at once (the two-call form
+    bounds tasks at max(P, fan_in) rows).  720 hours over a 10k-partition
+    input is 240k blobs in one task; for wide fan-ins pass ``fan_out=R``
+    to salt the merge into R sub-tasks per coarse group (salted on the
+    fine key, so every fine group still completes inside one sub-task and
+    the merge order is preserved: partials -> fine states -> R sub-coarse
+    states -> coarse state), bounding tasks at ~P x fan_in / R blobs for
+    the cost of a second R x G_coarse blob shuffle.
     """
     ops = spec.ops
     fcols, ccols = list(fine_cols), list(coarse_cols)
+    overlap = set(fcols) & set(ccols)
+    if overlap:
+        raise ValueError(
+            f"fine_cols and coarse_cols overlap on {sorted(overlap)}: the "
+            "fused pass keys partials on fine+coarse and cannot carry a "
+            "duplicate column. A coarse level that IS one of the fine "
+            "columns needs no rollup — call sketch_grouped on it, or use "
+            "the two-call form (sketch_grouped + rollup_states)")
+    if fan_out < 1:
+        raise ValueError(f"fan_out must be >= 1, got {fan_out}")
     fine_fields = [f"`{f_.name}` {f_.dataType.simpleString()}"
                    for f_ in df.select(*fcols).schema.fields]
     coarse_fields = [f"`{f_.name}` {f_.dataType.simpleString()}"
@@ -834,7 +853,28 @@ def sketch_grouped_rollup(df: DataFrame, fine_cols: list[str],
         row["fine_groups"] = [len(fine_states)]
         return pd.DataFrame(row)
 
-    return partials.groupBy(*ccols).applyInPandas(merge_coarse, out_schema)
+    if fan_out == 1:
+        return partials.groupBy(*ccols).applyInPandas(merge_coarse,
+                                                      out_schema)
+
+    # salted two-level merge: sub-tasks keyed on (coarse, hash(fine) % R)
+    # hold complete fine groups, so merge_coarse runs unchanged per salt
+    # bucket; a tiny second stage merges the R sub-coarse states.
+    salted = partials.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fcols), F.lit(fan_out)))
+    subs = (salted.groupBy(*ccols, "__salt")
+            .applyInPandas(lambda key, pdf: merge_coarse(key[:-1], pdf),
+                           out_schema))
+
+    def merge_subs(key, pdf):
+        acc = reduce(ops.merge, (ops.deserialize(b) for b in pdf["state"]))
+        row = {c: [key[i]] for i, c in enumerate(ccols)}
+        row["state"] = [ops.serialize(acc)]
+        row["n"] = [int(pdf["n"].sum())]
+        row["fine_groups"] = [int(pdf["fine_groups"].sum())]
+        return pd.DataFrame(row)
+
+    return subs.groupBy(*ccols).applyInPandas(merge_subs, out_schema)
 
 
 def _sketch_grouped_local(df: DataFrame, group_cols: list[str],

@@ -618,8 +618,10 @@ def kll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-merge and order-free; KLL merge compacts — this gates that the
     rollup path preserves the rank guarantee too.)
 
-    The verify side is pure JVM: exact 45th/55th percentiles per day in
-    one aggregation (no python stage, no second broadcast-join scan); ok
+    The verify side is pure JVM: exact discrete order statistics at ranks
+    0.45n/0.55n per day in one aggregation (percentile_disc — the band
+    KLL's rank guarantee actually implies; no python stage, no second
+    broadcast-join scan); ok
     additionally gates the hour fan-in against the exact distinct-hour
     count and row conservation through the sketch path."""
     from .agg import sketch_grouped_rollup
@@ -637,18 +639,26 @@ def kll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in days.collect()]
     med_df = spark.createDataFrame(
         meds, "day timestamp, med double, sketch_n long, hours int")
-    # exact rank check: est median within the exact [q45, q55] band
-    # (percentile is Spark's EXACT percentile — KLL rank error at k=200 is
-    # ~1.7%, well inside the 5% band)
+    # exact rank check in value space: KLL's guarantee is on the RANK of
+    # the returned sample (|rank(med) - 0.5n| <= eps*n, ~1.7% at k=200),
+    # which translates to the DISCRETE order-statistic band
+    # x_(ceil(0.45n)) <= med <= x_(ceil(0.55n)) — percentile_disc, not the
+    # interpolated percentile(): on a sparse day with a value gap at the
+    # median (e.g. 2 events {0, 1e6}) interpolation invents a band
+    # [450000, 550000] that no data value — and no rank-correct sketch
+    # answer — can satisfy, while the disc band [x_1, x_2] passes exactly
+    # the rank-valid answers
     bounds = (proj.groupBy("day")
               .agg(F.count("value").alias("n_values"),
                    F.countDistinct("hour").alias("exact_hours"),
-                   F.expr("percentile(value, array(0.45, 0.55))")
-                   .alias("b")))
+                   F.expr("percentile_disc(0.45) WITHIN GROUP "
+                          "(ORDER BY value)").alias("b_lo"),
+                   F.expr("percentile_disc(0.55) WITHIN GROUP "
+                          "(ORDER BY value)").alias("b_hi")))
     return (bounds.join(F.broadcast(med_df), "day")
             .select("day", F.col("n_values").cast("long"),
-                    ((F.col("med") >= F.col("b")[0])
-                     & (F.col("med") <= F.col("b")[1])
+                    ((F.col("med") >= F.col("b_lo"))
+                     & (F.col("med") <= F.col("b_hi"))
                      & (F.col("hours") == F.col("exact_hours"))
                      & (F.col("sketch_n") == F.col("n_values"))).alias("ok")))
 

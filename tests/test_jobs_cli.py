@@ -52,6 +52,18 @@ def test_ab_bloom_rejects_mode_and_checkpoint_flags():
         assert "incompatible" in r.stderr, extra
 
 
+def test_ab_bloom_rejects_odd_reps():
+    """An odd rep count silently breaks the ABBA order balance (one arm
+    runs first more often, so monotonic in-session drift no longer
+    cancels) — the artifact would look balanced but carry an order bias."""
+    r = _run("--pages", "100", "--ab-bloom", "--reps", "3")
+    assert r.returncode == 2
+    assert "even --reps" in r.stderr
+    # even reps still parse past argparse (fails later only on data dirs)
+    r = _run("--ab-bloom", "--reps", "2", "--help")
+    assert r.returncode == 0
+
+
 def test_reusing_completed_checkpoint_is_marked(tmp_path):
     """Re-invoking the job against an already-complete --checkpoint-dir
     resumes (= skips) the Bloom build — that is the resume feature — but

@@ -236,6 +236,45 @@ class TestRollupStates:
             assert (state, n) == two_call[k]
             assert fine_groups == 20  # 400 fine groups over 20 coarse
 
+    def test_fused_rollup_fan_out_matches_unsalted(self, spark):
+        """fan_out=R salts the coarse merge into R sub-tasks (bounding
+        per-task partial concentration for wide fan-ins) but must be a
+        physical change only: HLL register-max is associative/commutative,
+        so states, counts, and the exact fine-group tally are identical."""
+        from sketchlib.agg import sketch_grouped_rollup
+
+        spec = hll_spec(p=8)
+        df = (spark.range(0, 100_000, 1, 16)
+              .withColumn("fine", F.col("id") % 400)
+              .withColumn("coarse", F.col("fine") % 20)
+              .withColumn("v", F.col("id") % 7_000))
+        flat = {r["coarse"]: (bytes(r["state"]), r["n"], r["fine_groups"])
+                for r in sketch_grouped_rollup(
+                    df, ["fine"], ["coarse"], "v", spec).collect()}
+        salted = {r["coarse"]: (bytes(r["state"]), r["n"], r["fine_groups"])
+                  for r in sketch_grouped_rollup(
+                      df, ["fine"], ["coarse"], "v", spec,
+                      fan_out=4).collect()}
+        assert salted == flat and len(salted) == 20
+
+    def test_fused_rollup_rejects_bad_args(self, spark):
+        """Overlapping fine/coarse columns used to crash deep inside the
+        python worker (duplicate pandas groupby label); now both invalid
+        shapes raise up front on the driver."""
+        from sketchlib.agg import sketch_grouped_rollup
+
+        spec = hll_spec(p=8)
+        df = (spark.range(0, 100, 1, 2)
+              .withColumn("region", F.col("id") % 5)
+              .withColumn("city", F.col("id") % 25)
+              .withColumn("v", F.col("id")))
+        with pytest.raises(ValueError, match="overlap.*region"):
+            sketch_grouped_rollup(df, ["region", "city"], ["region"],
+                                  "v", spec)
+        with pytest.raises(ValueError, match="fan_out"):
+            sketch_grouped_rollup(df, ["city"], ["region"], "v", spec,
+                                  fan_out=0)
+
 
 def test_probe_state_memo_one_deserialize_per_state():
     """Probe UDFs memoize the deserialized broadcast state per worker
@@ -292,3 +331,29 @@ def test_probe_state_memo_one_deserialize_per_state():
         assert len(aggmod._PROBE_MEMO) < len(blobs)
     finally:
         aggmod._PROBE_MEMO_MAX_BYTES = old_budget
+
+
+def test_kll_rollup_day_gate_accepts_sparse_gapped_day(spark, tmp_path):
+    """The day-median gate must accept rank-valid KLL answers on sparse
+    days with a value gap at the median: a 2-event day {0, 1e6} has NO
+    value inside the interpolated [q45, q55] band (450k..550k), yet both
+    retained samples are within the discrete order-statistic band
+    [x_ceil(0.45n), x_ceil(0.55n)] = [0, 1e6] that KLL's rank guarantee
+    actually implies.  Guards the percentile_disc band in kll_rollup_day
+    against regressing to interpolation."""
+    import datetime as dt
+
+    from sketchlib.queries import QUERIES
+
+    rows = [(dt.datetime(2024, 1, 1, 0, 5), 0.0),
+            (dt.datetime(2024, 1, 1, 1, 5), 1_000_000.0)]
+    # plus a dense day so the gate also sees the normal regime
+    rows += [(dt.datetime(2024, 1, 2, h % 24, h % 60), float(h % 97))
+             for h in range(500)]
+    spark.createDataFrame(rows, "ts timestamp, value double") \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {str(r["day"]): (r["n_values"], r["ok"])
+           for r in QUERIES["kll_rollup_day"](spark, str(tmp_path)).collect()}
+    assert out["2024-01-01 00:00:00"] == (2, True)
+    assert out["2024-01-02 00:00:00"] == (500, True)
