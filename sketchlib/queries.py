@@ -634,7 +634,7 @@ def kll_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  kll_spec(k=200))
     # estimated medians: 30 tiny rows to the driver
     meds = [(r["day"],
-             float(KLL.quantile(KLL.deserialize(bytes(r["state"])), 0.5)),
+             float(KLL.quantile(KLL.deserialize(bytes(r["state"])), [0.5])[0]),
              int(r["n"]), int(r["fine_groups"]))
             for r in days.collect()]
     med_df = spark.createDataFrame(
@@ -925,7 +925,7 @@ def kll_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.col("n_chars").cast("double").alias("len"))
     grouped = sketch_grouped(docs, ["lang"], "len", kll_spec(k=200))
     meds = {r["lang"]: float(KLL.quantile(
-        KLL.deserialize(bytes(r["state"])), 0.5))
+        KLL.deserialize(bytes(r["state"])), [0.5])[0])
         for r in grouped.collect()}
     med_df = spark.createDataFrame(list(meds.items()), "lang string, med double")
     ranked = (docs.join(F.broadcast(med_df), "lang")
