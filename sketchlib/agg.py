@@ -690,27 +690,8 @@ def sketch_grouped(df: DataFrame, group_cols: list[str], value_col: str,
     # overhead to one combine pass per task).
     parts = salted.repartition(*gcols, "__salt")
 
-    def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[tuple, list] = {}  # (group..., salt) -> [state, n]
-        for pdf in batches:
-            for key, sub in pdf.groupby([*gcols, "__salt"], sort=False,
-                                        dropna=False):
-                k = key if isinstance(key, tuple) else (key,)
-                vals = _series_values(sub["__v"])
-                ent = acc.get(k)
-                if ent is None:
-                    ent = acc[k] = [spec.create(), 0]
-                ent[0] = ops.update(ent[0], vals)
-                ent[1] += len(vals)
-        if acc:
-            keys = list(acc)
-            out = {c: [k[i] for k in keys] for i, c in enumerate(gcols)}
-            out["__salt"] = [k[len(gcols)] for k in keys]
-            out["state"] = [ops.serialize(acc[k][0]) for k in keys]
-            out["n"] = [acc[k][1] for k in keys]
-            yield pd.DataFrame(out)
-
-    partials = parts.mapInPandas(build_part, partial_schema)
+    partials = parts.mapInPandas(
+        _map_side_combine(spec, [*gcols, "__salt"]), partial_schema)
 
     def merge_group(key, pdf):
         states = [ops.deserialize(b) for b in pdf["state"]]
@@ -755,9 +736,10 @@ def rollup_states(states: DataFrame, coarse_cols: list[str],
 
 def _map_side_combine(spec: SketchSpec, key_cols: list[str]):
     """mapInPandas closure: fold each partition's ``__v`` values into one
-    sketch partial per key (the map-side combine both
-    ``sketch_grouped(strategy="local_combine")`` and
-    ``sketch_grouped_rollup`` shuffle instead of raw rows)."""
+    sketch partial per key (the map-side combine that
+    ``sketch_grouped`` — both strategies, the salted one keyed on
+    ``[*gcols, "__salt"]`` — and ``sketch_grouped_rollup`` shuffle
+    instead of raw rows)."""
     ops = spec.ops
 
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -947,37 +929,69 @@ def _memo_deserialize(ops, buf: bytes):
     return state
 
 
+def _probe_values(series: pd.Series):
+    """Probe column -> (kernel-updatable non-null values, notna bool mask).
+
+    Probes must hash in the SAME canonical domain as the build side
+    (_series_values / _arrow_values -> hashing._as_matrix): int64 POD for
+    integer-valued keys, per-value canonical numeric for floats (a
+    nullable long column arrives from Arrow as float64 with NaN), bytes
+    for strings.  The old ``to_numpy(np.int64)`` coercion hashed double
+    keys in the wrong domain (every probe false for true members — which
+    would silently empty bloom_prune_join's output) and turned NaN rows
+    into INT64_MIN garbage probes; null keys now get the SQL answer
+    (not-member / count 0) instead."""
+    if series.dtype.kind in "iu":
+        return series.to_numpy(np.int64, copy=False), None
+    if series.dtype.kind == "f":
+        vals = series.to_numpy(np.float64, copy=False)
+        mask = ~np.isnan(vals)
+        return vals[mask], (None if bool(mask.all()) else mask)
+    mask = series.notna().to_numpy()
+    vals = pa.array(series[mask] if not mask.all() else series,
+                    type=pa.large_string() if series.dtype == object else None)
+    return vals, (None if bool(mask.all()) else mask)
+
+
 def bloom_contains_col(spark, state_bytes: bytes, col):
     """BooleanType column: membership probe against a broadcast Bloom state.
     The blob ships once per executor (Spark broadcast); each Arrow batch is
-    probed whole-column against the memoized deserialized state."""
+    probed whole-column against the memoized deserialized state.  Null keys
+    probe as not-member."""
     bc = spark.sparkContext.broadcast(state_bytes)
 
     @F.pandas_udf(BooleanType())
     def probe(series: pd.Series) -> pd.Series:
-        from .agg import _memo_deserialize
+        from .agg import _memo_deserialize, _probe_values
         from .sketch import BLOOM
         state = _memo_deserialize(BLOOM, bc.value)
-        vals = series if series.dtype != object else pa.array(series.fillna(""), type=pa.large_string())
-        if isinstance(vals, pd.Series):
-            vals = vals.to_numpy(np.int64, copy=False)
-        return pd.Series(BLOOM.contains(state, vals))
+        vals, mask = _probe_values(series)
+        hits = BLOOM.contains(state, vals)
+        if mask is not None:
+            out = np.zeros(len(series), bool)
+            out[mask] = hits
+            hits = out
+        return pd.Series(hits)
 
     return probe(col)
 
 
 def cms_estimate_col(spark, state_bytes: bytes, col):
-    """LongType column: CMS point-frequency estimates for a key column."""
+    """LongType column: CMS point-frequency estimates for a key column.
+    Null keys estimate as 0."""
     bc = spark.sparkContext.broadcast(state_bytes)
 
     @F.pandas_udf(LongType())
     def estimate(series: pd.Series) -> pd.Series:
-        from .agg import _memo_deserialize
+        from .agg import _memo_deserialize, _probe_values
         from .sketch import CMS
         state = _memo_deserialize(CMS, bc.value)
-        vals = series if series.dtype != object else pa.array(series.fillna(""), type=pa.large_string())
-        if isinstance(vals, pd.Series):
-            vals = vals.to_numpy(np.int64, copy=False)
-        return pd.Series(CMS.estimate(state, vals))
+        vals, mask = _probe_values(series)
+        est = np.asarray(CMS.estimate(state, vals), dtype=np.int64)
+        if mask is not None:
+            out = np.zeros(len(series), np.int64)
+            out[mask] = est
+            est = out
+        return pd.Series(est)
 
     return estimate(col)

@@ -116,6 +116,31 @@ def int64_byte_matrix(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return mat, lengths
 
 
+def numeric_byte_matrix(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Float column -> fixed 8-byte rows under a per-VALUE canonical rule:
+    an integral, in-int64-range value hashes as its int64 POD bytes —
+    byte-identical to the same key arriving through an integer column —
+    and any other value (fractional, ±inf) as its float64 IEEE bit
+    pattern.  pandas promotes nullable integer batches to float64
+    (null -> NaN), so without this rule the same logical key hashed into
+    two different domains depending on whether its Arrow batch happened
+    to contain a null — breaking Bloom's no-false-negative guarantee
+    between build and probe.  Per-value canonicalization is dtype- and
+    batch-insensitive, so build and probe always agree.  (A denormal
+    double whose bit pattern equals a small int64 collides with that
+    integer key — a ~2^-64 curiosity acceptable in approximate sketches.)
+    NaN must be dropped by the caller (SQL null semantics)."""
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    out = vals.view(np.int64).copy()  # default: IEEE bit pattern
+    with np.errstate(invalid="ignore"):
+        integral = (np.isfinite(vals) & (vals == np.floor(vals))
+                    & (vals >= -9_223_372_036_854_775_808.0)
+                    & (vals < 9_223_372_036_854_775_808.0))
+    out[integral] = vals[integral].astype(np.int64)
+    mat = out.view(np.uint8).reshape(-1, 8)
+    return mat, np.full(vals.shape[0], 8, np.int64)
+
+
 def murmur3_32(mat: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
     """MurmurHash3-x86-32 over rows of a padded byte matrix. Returns uint32[N]."""
     n = mat.shape[0]
@@ -201,6 +226,26 @@ def _as_matrix(values) -> tuple[np.ndarray, np.ndarray]:
         return values
     if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
         return int64_byte_matrix(values.astype(np.int64, copy=False))
+    if isinstance(values, np.ndarray) and values.dtype.kind == "f":
+        return numeric_byte_matrix(values)
+    # numeric Arrow arrays and plain python sequences of numbers must hash
+    # in the same canonical domain as the ndarray paths above — route them
+    # through numpy (an integer array with nulls surfaces as float64 with
+    # NaN, which numeric_byte_matrix canonicalizes per value; callers mask
+    # null rows themselves)
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        try:
+            inferred = pa.array(values)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            return to_byte_matrix(values)
+        values = inferred
+    if pa.types.is_integer(values.type) or pa.types.is_floating(values.type):
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        np_vals = values.to_numpy(zero_copy_only=False)
+        if np_vals.dtype.kind in "iu":
+            return int64_byte_matrix(np_vals.astype(np.int64, copy=False))
+        return numeric_byte_matrix(np_vals.astype(np.float64, copy=False))
     return to_byte_matrix(values)
 
 

@@ -80,6 +80,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Bloom (O1-O13): membership, FPP/FN protocol, sizing math
 # ---------------------------------------------------------------------------
 
+def _fresh_probe_keys(spark: SparkSession, df: DataFrame, key_col: str,
+                      n_probe: int) -> DataFrame:
+    """``n_probe`` long keys guaranteed DISJOINT from ``df[key_col]``.
+
+    The FPP gates' old fixed base (10_000_000) overlaps real customer keys
+    once the table holds >=10M rows (TPC-H SF ~67), at which point 'false
+    positive' counts include true members and the gate fails spuriously on
+    a filter that meets its bound.  Starting past the column's max keeps
+    the probe set fresh at any SF; the max() is a column-pruned scan of
+    the already-loaded frame, and at the gate SFs (<=0.1) the base stays
+    exactly 10_000_000 so historical gate values are bit-identical."""
+    max_key = df.agg(F.max(key_col)).first()[0] or 0
+    base = max(10_000_000, int(max_key) + 1)
+    return spark.range(base, base + n_probe)
+
+
 @register("bloom_semijoin", """
 SELECT DISTINCT o_custkey FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer)
@@ -109,7 +125,7 @@ def bloom_fpp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn_cnt = cust.where(
         ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
     n_probe = 100_000
-    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fresh = _fresh_probe_keys(spark, cust, "c_custkey", n_probe)
     fp_cnt = fresh.where(
         bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
     st = res.state
@@ -134,7 +150,7 @@ def bloom_blocked_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn_cnt = cust.where(
         ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
     n_probe = 100_000
-    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fresh = _fresh_probe_keys(spark, cust, "c_custkey", n_probe)
     fp_cnt = fresh.where(
         bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
     st = res.state
@@ -163,7 +179,7 @@ def bloom_cacheline_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn_cnt = cust.where(
         ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
     n_probe = 100_000
-    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fresh = _fresh_probe_keys(spark, cust, "c_custkey", n_probe)
     fp_cnt = fresh.where(
         bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
     st = res.state
@@ -191,7 +207,7 @@ def bloom_pattern_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn_cnt = cust.where(
         ~bloom_contains_col(spark, res.state_bytes, F.col("c_custkey"))).count()
     n_probe = 100_000
-    fresh = spark.range(10_000_000, 10_000_000 + n_probe)
+    fresh = _fresh_probe_keys(spark, cust, "c_custkey", n_probe)
     fp_cnt = fresh.where(
         bloom_contains_col(spark, res.state_bytes, F.col("id"))).count()
     st = res.state

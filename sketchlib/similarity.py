@@ -198,27 +198,15 @@ def srp_signatures(df: DataFrame, n_bits: int = 64, seed: int = 7,
 def srp_candidate_pairs(sig_df: DataFrame, id_col: str = "vec_id",
                         bands: int = 16, rows: int = 4) -> DataFrame:
     """(a, b) candidate pairs: any band of ``rows`` consecutive signature
-    bits matching exactly.  Same banded equi-join shape as MinHash LSH —
-    shuffle on (band, band_hash), never all-pairs."""
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows + 1, rows),
-                        lambda x: x.cast("string")))),
-            )
-        ).alias("band", "band_hash"),
-    )
-    l, r = banded.alias("l"), banded.alias("r")
-    return (l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.band_hash") == F.col("r.band_hash"))
-                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("a"),
-                    F.col(f"r.{id_col}").alias("b"))
-            .distinct())
+    bits matching exactly.  Banding over a signature column is the SAME
+    construction whether the slots are MinHash values or SRP bits, so
+    this delegates to dedup.lsh_candidate_pairs (one copy of the
+    (id, band, band_hash)-only shuffle and its rationale); the Jaccard
+    estimate pre-cut stays off — matching SRP bits estimate ANGLE, not
+    Jaccard, so that knob does not transfer."""
+    from .dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(sig_df, id_col=id_col, bands=bands, rows=rows)
 
 
 def exact_cosine_col(vec_a, vec_b):

@@ -44,7 +44,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..hashing import hash_pair
+from ..hashing import hash_pair, splitmix64
 from ..params import BloomParams, fpp_bound
 from .protocol import pack_state, unpack_state
 
@@ -71,6 +71,16 @@ _PATTERN_SEED = 0x18C0FFEE
 #: with wrong masks (false negatives).  Bump whenever the derivation or
 #: _PATTERN_SEED changes.
 _PATTERN_TABLE_VERSION = 2
+#: Wire version of the BLOCKED-mode in-block addressing.  v1 derived the
+#: in-block base offset from c1 — the same hash that selects the block —
+#: so whenever gcd(nblocks, 64) was large the block pinned the base offset
+#: and each 64-bit block collapsed to <=32 distinct masks (measured FP
+#: ~30x past the fill^k expectation at 64 | nblocks).  v2 remixes both
+#: hashes through splitmix64 so in-block addressing is independent of
+#: block selection.  Blocked states carry this in their header; a blob
+#: built under a different layout is REJECTED at deserialize instead of
+#: silently probing wrong bits (false negatives).
+_BLOCK_LAYOUT_VERSION = 2
 _pattern_tables: dict[int, np.ndarray] = {}
 
 
@@ -194,13 +204,24 @@ class Bloom:
         bb = np.uint64(state.block_bits)
         wpb = state.block_bits // 64
         nblocks = np.uint64(state.words.shape[0] // wpb)
-        block = c1.astype(np.uint64) % nblocks
+        u1 = c1.astype(np.uint64)
+        block = u1 % nblocks
+        # In-block addressing must be INDEPENDENT of block selection
+        # (_BLOCK_LAYOUT_VERSION 2): deriving the base offset from c1 —
+        # which also picks the block — pinned every key in a block to one
+        # base whenever gcd(nblocks, bb) was large, collapsing mask
+        # diversity and blowing FP ~30x past the fill^k model.  The
+        # splitmix64 remix of both hashes leaves no trace of c1's low bits.
+        with np.errstate(over="ignore"):
+            v = splitmix64(c2.astype(np.uint64) ^ (u1 << np.uint64(32)))
         i = np.arange(state.k, dtype=np.uint64)[None, :]
-        # h2 forced odd (gloom.h:110): an even stride mod a power-of-two
+        # stride forced odd (gloom.h:110): an even stride mod a power-of-two
         # block cycles over a subgroup of bit positions, revisiting bits
         # and inflating FPP; odd strides visit k distinct bits
-        stride = (c2.astype(np.uint64) | np.uint64(1))[:, None]
-        bit = (c1.astype(np.uint64)[:, None] + i * stride) % bb  # [N, k]
+        stride = ((v >> np.uint64(32)) | np.uint64(1))[:, None]
+        with np.errstate(over="ignore"):
+            # bb is a power of two, so the uint64 wrap commutes with % bb
+            bit = (v[:, None] + i * stride) % bb  # [N, k]
         onebit = np.uint64(1) << (bit & np.uint64(63))           # [N, k]
         if wpb == 1:  # register-blocked: one word, one OR-reduce
             return (block[:, None],
@@ -321,6 +342,8 @@ class Bloom:
                   "bb": state.block_bits, "pat": int(state.pattern)}
         if state.pattern:
             header["pv"] = _PATTERN_TABLE_VERSION
+        elif state.blocked:
+            header["bkv"] = _BLOCK_LAYOUT_VERSION
         return pack_state(self.name, header, [state.words])
 
     def deserialize(self, data: bytes) -> BloomState:
@@ -333,6 +356,14 @@ class Bloom:
                 raise ValueError(
                     f"pattern Bloom state built with mask-table v{pv}; "
                     f"this build probes with v{_PATTERN_TABLE_VERSION} — "
+                    "probing would silently false-negative, rebuild the "
+                    "state")
+        elif header.get("blocked"):
+            bkv = header.get("bkv", 1)  # pre-versioning blobs = v1 layout
+            if bkv != _BLOCK_LAYOUT_VERSION:
+                raise ValueError(
+                    f"blocked Bloom state built with block layout v{bkv}; "
+                    f"this build probes with v{_BLOCK_LAYOUT_VERSION} — "
                     "probing would silently false-negative, rebuild the "
                     "state")
         return BloomState(header["m"], header["k"],

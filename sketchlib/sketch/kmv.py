@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..hashing import hash64
-from .protocol import pack_state, unpack_state
+from .protocol import decode_keys, encode_keys, pack_state, unpack_state
 
 __all__ = ["KmvState", "Kmv", "KMV"]
 
@@ -155,7 +155,8 @@ class Kmv:
     # -- wire ---------------------------------------------------------------
 
     def serialize(self, state: KmvState) -> bytes:
-        header = {"k": state.k, "n": state.n_total, "keys": list(state.keys)}
+        header = {"k": state.k, "n": state.n_total,
+                  "keys": encode_keys(state.keys)}
         return pack_state(self.name, header, [state.prios])
 
     def deserialize(self, data: bytes) -> KmvState:
@@ -163,7 +164,7 @@ class Kmv:
         if kind != self.name:
             raise ValueError(f"expected kmv blob, got {kind}")
         return KmvState(header["k"], bufs[0].astype(np.uint64, copy=False),
-                        header["keys"], header["n"])
+                        decode_keys(header["keys"]), header["n"])
 
 
 KMV = Kmv()

@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .protocol import pack_state, unpack_state
+from .protocol import decode_keys, encode_keys, pack_state, unpack_state
 
 __all__ = ["MgState", "Mg", "MG"]
 
@@ -53,7 +53,7 @@ def _batch_counts(values) -> tuple[list, np.ndarray]:
 @dataclass
 class MgState:
     cap: int
-    keys: list = field(default_factory=list)  # str or int, JSON-serializable
+    keys: list = field(default_factory=list)  # column scalars (protocol.encode_keys on the wire)
     counts: np.ndarray = None  # int64[len(keys)], lower-bound counts
     n_total: int = 0
     decr_total: int = 0  # exact accumulated subtraction (the error bound)
@@ -140,14 +140,14 @@ class Mg:
 
     def serialize(self, state: MgState) -> bytes:
         header = {"cap": state.cap, "n": state.n_total,
-                  "dec": state.decr_total, "keys": list(state.keys)}
+                  "dec": state.decr_total, "keys": encode_keys(state.keys)}
         return pack_state(self.name, header, [state.counts])
 
     def deserialize(self, data: bytes) -> MgState:
         kind, header, bufs = unpack_state(data)
         if kind != self.name:
             raise ValueError(f"expected mg blob, got {kind}")
-        return MgState(header["cap"], header["keys"],
+        return MgState(header["cap"], decode_keys(header["keys"]),
                        bufs[0].astype(np.int64, copy=False),
                        header["n"], header["dec"])
 

@@ -20,12 +20,57 @@ buffers, so a state travels as a single BinaryType cell through Spark.
 
 from __future__ import annotations
 
+import base64
+import datetime
 import json
 import struct
 
 import numpy as np
 
 _MAGIC = b"SKB1"
+
+
+def encode_keys(keys: list) -> list:
+    """Sample/counter keys -> JSON-safe forms for the state header.
+
+    Sketch keys are column values, i.e. scalars: JSON-native ones pass
+    through; bytes / datetime / date (BinaryType / TimestampType /
+    DateType columns) get a one-entry tag dict; numpy scalars unwrap to
+    their python natives first.  Raw ``json.dumps(keys)`` crashed the
+    whole Spark stage at partial-serialize time for any of those types
+    even though update/merge handled them fine."""
+    out = []
+    for v in keys:
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, (bytes, bytearray)):
+            out.append({"__b": base64.b64encode(bytes(v)).decode()})
+        elif isinstance(v, datetime.datetime):
+            out.append({"__t": v.isoformat()})
+        elif isinstance(v, datetime.date):
+            out.append({"__d": v.isoformat()})
+        else:
+            out.append(v)  # str/int/float/bool/None: JSON-native
+    return out
+
+
+def decode_keys(keys: list) -> list:
+    """Inverse of encode_keys: restores values that compare equal to the
+    originals, so a resumed/merged state dedupes against fresh batches."""
+    out = []
+    for v in keys:
+        if isinstance(v, dict):
+            if "__b" in v:
+                out.append(base64.b64decode(v["__b"]))
+            elif "__t" in v:
+                out.append(datetime.datetime.fromisoformat(v["__t"]))
+            elif "__d" in v:
+                out.append(datetime.date.fromisoformat(v["__d"]))
+            else:  # unknown tag: surface loudly, never silently corrupt
+                raise ValueError(f"unknown key tag in sketch header: {v}")
+        else:
+            out.append(v)
+    return out
 
 
 def pack_state(kind: str, header: dict, buffers: list[np.ndarray]) -> bytes:

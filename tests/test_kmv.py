@@ -137,3 +137,37 @@ class TestThetaSetOps:
         sub = KMV.update(KMV.create(512), np.arange(0, 5_000, dtype=np.int64))
         est_ds, _ = KMV.difference_count(sub, a)  # subset minus superset
         assert est_ds == 0.0
+
+
+class TestWireKeyTypes:
+    """Regression: serialize() embedded raw sample keys in the JSON
+    header, so bytes / timestamp / numpy-scalar keys (BinaryType,
+    TimestampType columns) crashed json.dumps inside executors at
+    partial-serialize time even though update/merge handled them fine."""
+
+    def test_bytes_keys_roundtrip(self):
+        import pyarrow as pa
+        vals = pa.array([f"blob{i}".encode() for i in range(40)],
+                        type=pa.large_binary())
+        st_ = KMV.update(KMV.create(k=16), vals)
+        back = KMV.deserialize(KMV.serialize(st_))
+        assert back.keys == st_.keys
+        assert all(isinstance(k, bytes) for k in back.keys)
+        assert np.array_equal(back.prios, st_.prios)
+        # a resumed state keeps deduping against fresh batches
+        again = KMV.update(back, vals)
+        assert np.array_equal(again.prios, st_.prios)
+
+    def test_timestamp_keys_roundtrip(self):
+        import datetime
+        vals = [datetime.datetime(2026, 1, 1) + datetime.timedelta(hours=i)
+                for i in range(40)]
+        st_ = KMV.update(KMV.create(k=16), vals)
+        back = KMV.deserialize(KMV.serialize(st_))
+        assert back.keys == st_.keys
+
+    def test_numpy_scalar_keys_serialize(self):
+        st_ = KMV.create(k=8)
+        KMV.update(st_, np.arange(20, dtype=np.int64))
+        back = KMV.deserialize(KMV.serialize(st_))
+        assert [int(k) for k in back.keys] == [int(k) for k in st_.keys]

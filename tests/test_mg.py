@@ -114,3 +114,21 @@ def test_spark_build_path(spark):
     res = build_sketch(df, "k", mg_spec(cap=64))
     pdf = df.toPandas()
     _check_invariants(res.state, pdf["k"].to_numpy())
+
+
+class TestWireKeyTypes:
+    """Same regression as KMV's TestWireKeyTypes: raw keys in the JSON
+    header crashed on bytes/timestamp columns at serialize time."""
+
+    def test_bytes_keys_roundtrip_and_merge(self):
+        import pyarrow as pa
+        from sketchlib.sketch import MG
+        vals = pa.array(([b"hot"] * 50) + [f"b{i}".encode() for i in range(30)],
+                        type=pa.large_binary())
+        st_ = MG.update(MG.create(cap=8), vals)
+        back = MG.deserialize(MG.serialize(st_))
+        assert set(back.keys) == set(st_.keys)
+        assert all(isinstance(k, bytes) for k in back.keys)
+        # deserialized counters keep merging against fresh batches by value
+        merged = MG.merge(back, MG.update(MG.create(cap=8), vals))
+        assert MG.estimate(merged, [b"hot"])[0] >= 50

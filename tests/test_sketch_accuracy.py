@@ -73,6 +73,52 @@ class TestCms:
         assert est[0] >= 10 and est[1] >= 3
         assert state.n_total == 13
 
+    def test_fractional_weights_never_undercount(self):
+        """Regression: the uint64 table truncated per-batch fractional
+        weight sums (10 updates of 0.5 estimated 0, n_total 10 -> 5),
+        violating the est >= true guarantee build_cms_weighted documents
+        for revenue/bytes measures."""
+        state = CMS.create(d=5, w=1024)
+        keys = np.arange(10, dtype=np.int64)
+        CMS.update(state, keys, weights=np.full(10, 0.5))
+        est = CMS.estimate(state, keys)
+        assert np.all(est >= 1)  # ceil(0.5): one-sided, never 0
+        assert state.n_total == 5.0
+        # split-vs-whole merge stays one-sided with fractional mass
+        a = CMS.update(CMS.create(d=5, w=1024), keys[:5], weights=np.full(5, 0.25))
+        b = CMS.update(CMS.create(d=5, w=1024), keys[5:], weights=np.full(5, 0.25))
+        merged = CMS.merge(a, b)
+        assert np.all(CMS.estimate(merged, keys) >= 1)
+        assert merged.n_total == 2.5
+
+    def test_negative_or_nonfinite_weights_rejected(self):
+        """Regression: a negative weight used to wrap through uint64 to
+        ~1.8e19 in every touched cell; NaN/inf corrupted n_total."""
+        state = CMS.create(d=5, w=1024)
+        for bad in ([-1.0], [float("nan")], [float("inf")]):
+            with pytest.raises(ValueError, match="finite and >= 0"):
+                CMS.update(state, np.array([1], np.int64),
+                           weights=np.array(bad))
+        with pytest.raises(ValueError, match="length"):
+            CMS.update(state, np.array([1, 2], np.int64),
+                       weights=np.array([1.0]))
+
+    def test_uint64_wire_blob_still_deserializes(self):
+        """Pre-fix CMS blobs carried a uint64 table; the dtype travels in
+        the wire frame and the cast to float64 is value-preserving."""
+        from sketchlib.sketch.protocol import pack_state
+        st = CMS.create(d=3, w=64)
+        CMS.update(st, np.arange(100, dtype=np.int64))
+        old_blob = pack_state(
+            CMS.name, {"d": st.d, "w": st.w, "n": int(st.n_total)},
+            [st.table.astype(np.uint64).ravel()])
+        back = CMS.deserialize(old_blob)
+        assert back.table.dtype == np.float64
+        assert np.array_equal(back.table, st.table)
+        assert np.array_equal(
+            CMS.estimate(back, np.arange(100, dtype=np.int64)),
+            CMS.estimate(st, np.arange(100, dtype=np.int64)))
+
     def test_merge_equals_union(self):
         a, b = CMS.create(d=4, w=512), CMS.create(d=4, w=512)
         CMS.update(a, np.arange(100, dtype=np.int64))

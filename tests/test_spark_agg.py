@@ -12,6 +12,7 @@ from sketchlib.agg import (
     build_partials,
     build_partials_keyed,
     build_sketch,
+    cms_estimate_col,
     cms_spec,
     hll_spec,
     kll_spec,
@@ -51,6 +52,61 @@ class TestBloomEndToEnd:
             "hit", bloom_contains_col(spark, res.state_bytes, F.col("o_custkey")))
         # FK-clean: every o_custkey is a real customer => all present
         assert hit.where(~F.col("hit")).count() == 0
+
+    def test_nullable_long_key_no_false_negatives(self, spark):
+        """Regression: pandas promotes a nullable LongType batch to float64
+        (null -> NaN), which used to hash in a DIFFERENT domain than a
+        null-free int64 batch — the same key false-negatived depending on
+        whether its Arrow batch happened to contain a null.  The per-value
+        canonical rule (hashing.numeric_byte_matrix) makes build and probe
+        dtype- and batch-insensitive."""
+        rows = [(i if i % 7 else None,) for i in range(1, 4_001)]
+        df = spark.createDataFrame(rows, "k long").repartition(8)
+        n_real = sum(1 for (v,) in rows if v is not None)
+        res = build_sketch(df, "k", bloom_spec(n_real, 0.01))
+        assert res.n_rows == n_real  # nulls contribute nothing
+        probed = df.withColumn(
+            "hit", bloom_contains_col(spark, res.state_bytes, F.col("k")))
+        # every real key present; null keys probe as not-member, not a crash
+        assert probed.where(F.col("k").isNotNull() & ~F.col("hit")).count() == 0
+        assert probed.where(F.col("k").isNull() & F.col("hit")).count() == 0
+        # the same state built from a null-free frame is byte-identical
+        clean = build_sketch(df.where(F.col("k").isNotNull()), "k",
+                             bloom_spec(n_real, 0.01))
+        assert clean.state_bytes == res.state_bytes
+
+    def test_double_key_probe_matches_build_domain(self, spark):
+        """Regression: bloom_contains_col coerced every numeric probe to
+        int64, so a Bloom built over a DoubleType column answered False
+        for every inserted key — silently emptying bloom_prune_join.
+        Also pins the canonical cross-type rule: an integral double probes
+        equal to the same integer (SQL 100 = 100.0 semantics)."""
+        vals = [float(i) + (0.5 if i % 3 == 0 else 0.0) for i in range(1, 2_001)]
+        df = spark.createDataFrame([(v,) for v in vals], "k double")
+        res = build_sketch(df, "k", bloom_spec(len(vals), 0.01))
+        probed = df.withColumn(
+            "hit", bloom_contains_col(spark, res.state_bytes, F.col("k")))
+        assert probed.where(~F.col("hit")).count() == 0
+        # integer-typed probes of the integral doubles are members too
+        ints = spark.createDataFrame(
+            [(int(v),) for v in vals if v == int(v)], "k long")
+        int_probed = ints.withColumn(
+            "hit", bloom_contains_col(spark, res.state_bytes, F.col("k")))
+        assert int_probed.where(~F.col("hit")).count() == 0
+
+    def test_cms_estimate_null_keys_zero(self, spark):
+        df = spark.createDataFrame(
+            [(i % 5 if i % 11 else None,) for i in range(1, 1_101)], "k long")
+        res = build_sketch(df, "k", cms_spec())
+        est = df.withColumn(
+            "est", cms_estimate_col(spark, res.state_bytes, F.col("k")))
+        # null keys estimate 0; real keys >= their true count (CMS one-sided)
+        assert est.where(F.col("k").isNull() & (F.col("est") != 0)).count() == 0
+        true_counts = {r["k"]: r["c"] for r in
+                       df.where("k IS NOT NULL").groupBy("k")
+                       .agg(F.count("*").alias("c")).collect()}
+        for r in est.where("k IS NOT NULL").distinct().collect():
+            assert r["est"] >= true_counts[r["k"]]
 
     def test_fp_rate_bounded(self, spark, customer):
         n = customer.count()
