@@ -139,7 +139,21 @@ def _series_values(series: pd.Series):
         vals = series.to_numpy(np.float64, copy=False)
         return vals[~np.isnan(vals)]
     series = series.dropna()
-    return pa.array(series, type=pa.large_string()) if series.dtype == object else pa.array(series)
+    return pa.array(series, type=_object_arrow_type(series)) \
+        if series.dtype == object else pa.array(series)
+
+
+def _object_arrow_type(series: pd.Series):
+    """Arrow type for an object-dtype pandas column: BinaryType columns
+    arrive as bytes rows and must NOT be forced through large_string —
+    Arrow utf8-validates that cast, so any non-UTF8 payload crashed the
+    build/probe task (the mapInArrow path handled the same column fine).
+    Spark columns are type-uniform, so the first row decides.  String and
+    binary hash identically for equal bytes (to_byte_matrix casts string
+    -> binary), so the choice never changes the hash domain."""
+    first = series.iloc[0] if len(series) else None
+    return pa.large_binary() if isinstance(first, (bytes, bytearray)) \
+        else pa.large_string()
 
 
 def _arrow_values(arr):
@@ -948,8 +962,9 @@ def _probe_values(series: pd.Series):
         mask = ~np.isnan(vals)
         return vals[mask], (None if bool(mask.all()) else mask)
     mask = series.notna().to_numpy()
-    vals = pa.array(series[mask] if not mask.all() else series,
-                    type=pa.large_string() if series.dtype == object else None)
+    nn = series[mask] if not mask.all() else series
+    vals = pa.array(nn, type=_object_arrow_type(nn)
+                    if series.dtype == object else None)
     return vals, (None if bool(mask.all()) else mask)
 
 

@@ -97,6 +97,14 @@ class StreamingSketch:
         state = ss.state          # merged sketch, durable across restarts
     """
 
+    #: Lineage retention: per-batch records kept in the durable state.  The
+    #: state file is rewritten whole every commit, so an unbounded batch
+    #: list makes a long-running stream's commit cost grow linearly with
+    #: its age (O(batches^2) cumulative IO) — the exact regime this class
+    #: exists for.  Cumulative totals (n_rows, batches_total) are exact
+    #: forever; only the per-batch detail rolls.
+    LINEAGE_KEEP = 512
+
     def __init__(self, spec: SketchSpec, state_dir: str, col: str):
         self.spec = spec
         self.col = col
@@ -117,11 +125,13 @@ class StreamingSketch:
             self.n_rows = raw["n_rows"]
             self.last_batch_id = raw["last_batch_id"]
             self.batches = raw["batches"]
+            self.batches_total = raw.get("batches_total", len(self.batches))
         else:
             self._state_bytes = self.spec.ops.serialize(self.spec.create())
             self.n_rows = 0
             self.last_batch_id = -1
             self.batches = []
+            self.batches_total = 0
 
     def _commit(self) -> None:
         tmp = self._path + ".tmp"
@@ -132,6 +142,7 @@ class StreamingSketch:
                 "n_rows": self.n_rows,
                 "last_batch_id": self.last_batch_id,
                 "batches": self.batches,
+                "batches_total": self.batches_total,
             }, f)
         os.replace(tmp, self._path)
 
@@ -155,6 +166,9 @@ class StreamingSketch:
             "partials": len(rows),
             "secs": round(time.perf_counter() - t0, 3),
         })
+        self.batches_total += 1
+        if len(self.batches) > self.LINEAGE_KEEP:
+            del self.batches[: len(self.batches) - self.LINEAGE_KEEP]
         self._commit()
 
     # -- results ---------------------------------------------------------------

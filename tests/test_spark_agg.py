@@ -108,6 +108,34 @@ class TestBloomEndToEnd:
         for r in est.where("k IS NOT NULL").distinct().collect():
             assert r["est"] >= true_counts[r["k"]]
 
+    def test_binary_column_non_utf8_build_and_probe(self, spark):
+        """Regression: object-dtype pandas batches (BinaryType columns)
+        were forced through pa.large_string, whose utf8 validation crashed
+        the task on any non-UTF8 payload — so grouped sketches and probes
+        over raw-bytes columns (WARC payloads, hashes) died while the
+        mapInArrow build path handled the same column fine.  Also pins
+        cross-path domain agreement: a Bloom built via the Arrow path
+        answers True for every key probed via the pandas path."""
+        rows = [(i % 3, bytes([0xFF, 0xFE, i % 251]) + f"k{i}".encode())
+                for i in range(600)]
+        df = spark.createDataFrame(rows, "g int, payload binary")
+        # Arrow build path over binary keys
+        res = build_sketch(df, "payload", bloom_spec(600, 0.01))
+        assert res.n_rows == 600
+        # pandas probe path over the same binary column: zero FN
+        probed = df.withColumn(
+            "hit", bloom_contains_col(spark, res.state_bytes, F.col("payload")))
+        assert probed.where(~F.col("hit")).count() == 0
+        # pandas build path (grouped salted strategy) over binary values
+        from sketchlib.agg import sketch_grouped
+        from sketchlib.sketch import HLL
+        grouped = sketch_grouped(df, ["g"], "payload", hll_spec(p=12))
+        out = {r["g"]: HLL.cardinality(HLL.deserialize(r["state"]))
+               for r in grouped.collect()}
+        assert set(out) == {0, 1, 2}
+        for g, est in out.items():
+            assert abs(est - 200) / 200 < 0.1
+
     def test_fp_rate_bounded(self, spark, customer):
         n = customer.count()
         res = build_sketch(customer, "c_custkey", bloom_spec(n, 0.01))

@@ -202,3 +202,23 @@ def test_stream_generalizes_to_new_sketch_kinds(spark, sf_smoke, tmp_path):
     stored = dict(zip(st.keys, MG.estimate(st, st.keys).tolist()))
     for k, c in stored.items():  # 5 event types, cap 64: counts exact
         assert c <= exact[k] <= c + st.decr_total
+
+
+def test_lineage_rolls_but_totals_exact(spark, sf_smoke, tmp_path, monkeypatch):
+    """The durable state file is rewritten whole every commit, so per-batch
+    lineage must be bounded (LINEAGE_KEEP) or a long-running stream's
+    commit cost grows with its age.  Totals stay exact forever."""
+    monkeypatch.setattr(StreamingSketch, "LINEAGE_KEEP", 2)
+    src = _multi_file_copy(spark, sf_smoke, tmp_path, n_copies=5)
+    spec = hll_spec(p=12)
+    ss = StreamingSketch(spec, str(tmp_path / "state_roll"), col="user_id")
+    _stream_events(spark, src, ss, str(tmp_path / "sck_roll"))
+    assert ss.batches_total >= 5  # one per file
+    assert len(ss.batches) == 2  # only the tail retained
+    assert ss.batches[-1]["batch_id"] == ss.last_batch_id
+    # reload from disk: totals and replay guard survive the roll
+    ss2 = StreamingSketch(spec, str(tmp_path / "state_roll"), col="user_id")
+    assert ss2.batches_total == ss.batches_total
+    assert ss2.n_rows == spark.read.parquet(src).count()
+    assert ss2.last_batch_id == ss.last_batch_id
+    assert ss2.state_bytes == ss.state_bytes
