@@ -91,6 +91,12 @@ class CheckpointState:
     shards: dict = field(default_factory=dict)  # str(shard) -> lineage dict
     rounds: list = field(default_factory=list)  # per-run metrics
     shard_sized: bool = False  # True: per-shard m, bank is NEVER merged
+    #: Spark simpleString types of route_cols at build time.  Shard routing
+    #: is JVM xxhash64(col), which is TYPE-sensitive (1 as int, bigint and
+    #: double all hash differently), so a probe or resume whose column type
+    #: differs from the build's re-routes keys to the wrong shard — silent
+    #: false negatives.  None on pre-field manifests (check skipped).
+    route_types: list | None = None
 
     @property
     def done(self) -> set[int]:
@@ -122,7 +128,8 @@ def load_manifest(ckpt_dir: str) -> CheckpointState | None:
         num_shards=raw["num_shards"], route_cols=raw["route_cols"],
         value_col=raw["value_col"], shards=raw["shards"],
         rounds=raw.get("rounds", []),
-        shard_sized=raw.get("shard_sized", False))
+        shard_sized=raw.get("shard_sized", False),
+        route_types=raw.get("route_types"))
 
 
 def _save_manifest(ckpt_dir: str, state: CheckpointState) -> None:
@@ -223,14 +230,26 @@ def checkpointed_build(df: DataFrame, col: str, spec: SketchSpec, *,
                              "does not shrink")
         spec = _shard_spec(spec, num_shards)
     os.makedirs(ckpt_dir, exist_ok=True)
+    dtypes = dict(df.dtypes)
+    cur_types = [dtypes[c] for c in route_cols]
     if state is not None and not state.compatible_with(
             spec, num_shards, route_cols, col, shard_sized):
         raise ValueError(f"checkpoint at {ckpt_dir} was written for a "
                          f"different spec/shard plan; refusing to mix")
+    if state is not None and state.route_types is not None \
+            and state.route_types != cur_types:
+        # xxhash64 routing is type-sensitive: resuming with a retyped frame
+        # would send the remaining shards' keys through a different route
+        # function than the completed shards used
+        raise ValueError(
+            f"checkpoint at {ckpt_dir} routed on types "
+            f"{state.route_types}; this frame has {cur_types} — resuming "
+            "would mis-route keys (cast the columns or rebuild)")
     if state is None:
         state = CheckpointState(spec.kind, dict(spec.cfg), num_shards,
                                 list(route_cols), col,
-                                shard_sized=shard_sized)
+                                shard_sized=shard_sized,
+                                route_types=cur_types)
 
     missing = sorted(state.missing)
     if missing:
@@ -313,6 +332,18 @@ def sharded_contains(probes: DataFrame, probe_col: str,
         raise ValueError(
             f"checkpoint routed by {manifest.route_cols}, probing by "
             f"[{probe_col}] would look in the wrong shard")
+    probe_type = dict(probes.dtypes)[probe_col]
+    if manifest.route_types is not None \
+            and manifest.route_types != [probe_type]:
+        # routing is JVM xxhash64(col) — type-sensitive, so a double probe
+        # of a bigint-built bank lands in the wrong shard: silent false
+        # negatives, the failure mode version guards exist to prevent.
+        # (Pre-field manifests carry no types; their probes skip this
+        # check, as before.)
+        raise ValueError(
+            f"bank was routed on a {manifest.route_types[0]} column; "
+            f"probing with a {probe_type} column would hash into the "
+            f"wrong shard — cast the probe column first")
     spec = SketchSpec(manifest.spec_kind, manifest.spec_cfg)
     ops = spec.ops
 

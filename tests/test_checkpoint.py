@@ -304,6 +304,42 @@ class TestShardSizedBank:
                                ckpt_dir=str(tmp_path / "bankk"),
                                shard_sized=True)
 
+    def test_route_type_guard_probe_and_resume(self, spark, sf_smoke,
+                                               tmp_path):
+        """Shard routing is JVM xxhash64(col) — TYPE-sensitive (1 as
+        bigint and 1.0 as double hash differently), so probing or resuming
+        with a retyped column silently routes keys to the wrong shard
+        (false negatives).  The manifest records the build's route types;
+        mismatches are refused; legacy manifests without the field keep
+        probing (check skipped)."""
+        import pyspark.sql.functions as F
+
+        from sketchlib.checkpoint import (load_manifest, sharded_contains,
+                                          _MANIFEST)
+
+        df, spec, bank = self._bank(spark, sf_smoke, tmp_path, "banktype")
+        assert load_manifest(bank.ckpt_dir).route_types == ["bigint"]
+        retyped = df.withColumn("l_orderkey",
+                                F.col("l_orderkey").cast("double"))
+        with pytest.raises(ValueError, match="wrong shard"):
+            sharded_contains(retyped.limit(10), "l_orderkey", bank.ckpt_dir)
+        with pytest.raises(ValueError, match="mis-route"):
+            checkpointed_build(retyped, "l_orderkey",
+                               bloom_spec(df.count(), 0.01),
+                               route_cols=ROUTE, num_shards=SHARDS,
+                               ckpt_dir=bank.ckpt_dir, shard_sized=True)
+        # a matching-type probe still answers every member
+        hits = bank.contains(df.select("l_orderkey").limit(50), "l_orderkey")
+        assert hits.where(~F.col("member")).count() == 0
+        # legacy manifest (field absent): probe proceeds unchecked
+        mpath = os.path.join(bank.ckpt_dir, _MANIFEST)
+        raw = json.load(open(mpath))
+        del raw["route_types"]
+        json.dump(raw, open(mpath, "w"))
+        legacy_hits = sharded_contains(
+            df.select("l_orderkey").limit(20), "l_orderkey", bank.ckpt_dir)
+        assert legacy_hits.where(~F.col("member")).count() == 0
+
     def test_query_job_autodetects_bank(self, spark, sf_smoke, tmp_path):
         """jobs/query_sketches.py on a bank checkpoint WITHOUT --sharded
         must auto-route from the manifest's shard_sized flag instead of
