@@ -153,9 +153,15 @@ class ParquetTableIO:
         manifest = self._load(name)
         if not manifest["snapshots"]:
             raise FileNotFoundError(f"no such table: {name}")
-        snap = manifest["snapshots"][-1] if snapshot_id is None else \
-            next(s for s in manifest["snapshots"]
-                 if s["snapshot_id"] == snapshot_id)
+        if snapshot_id is None:
+            snap = manifest["snapshots"][-1]
+        else:
+            snap = next((s for s in manifest["snapshots"]
+                         if s["snapshot_id"] == snapshot_id), None)
+            if snap is None:
+                raise ValueError(
+                    f"table {name} has no snapshot {snapshot_id}; "
+                    f"known: {[s['snapshot_id'] for s in manifest['snapshots']]}")
         return self.spark.read.parquet(*snap["file_dirs"])
 
     def snapshots(self, name: str) -> list[dict]:

@@ -49,6 +49,12 @@ def test_missing_table_raises(io):
         io.read("nope")
 
 
+def test_unknown_snapshot_raises_cleanly(io, spark):
+    io.write("t2", spark.range(5))
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        io.read("t2", snapshot_id=99)
+
+
 # ---------------------------------------------------------------------------
 # TableIO CONTRACT — one assertion body, every backend.  The emulation is the
 # only backend the sandbox can construct (no Iceberg jar, no network —
