@@ -2,7 +2,9 @@
 test vectors and vs the scalar spec implementation on random byte strings."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
+from hypothesis import given, strategies as st
 
 from sketchlib.hashing import (
     SEED_H1,
@@ -128,3 +130,44 @@ def test_edge_lengths(n):
     blob = bytes(range(256))[:n] if n <= 256 else b"x" * n
     mat, lengths = to_byte_matrix([blob])
     assert int(murmur3_32(mat, lengths, 123)[0]) == murmur3_32_scalar(blob, 123)
+
+
+class TestCanonicalNumericDomain:
+    """The per-value canonical rule (numeric_byte_matrix): a logical key
+    must hash identically no matter which physical route delivers it —
+    int64 ndarray, float64 ndarray (pandas' nullable-batch promotion),
+    python list, or Arrow array.  A domain split between any two routes
+    breaks Bloom's no-false-negative guarantee between build and probe."""
+
+    @given(st.lists(st.integers(min_value=-(2**53), max_value=2**53),
+                    min_size=1, max_size=200))
+    def test_every_route_agrees_for_integral_keys(self, vals):
+        base = hash64(np.asarray(vals, np.int64))
+        assert np.array_equal(base, hash64(np.asarray(vals, np.float64)))
+        assert np.array_equal(base, hash64(vals))
+        assert np.array_equal(base, hash64(pa.array(vals, type=pa.int64())))
+        assert np.array_equal(base, hash64(pa.array(
+            [float(v) for v in vals], type=pa.float64())))
+
+    @given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                              width=64),
+                    min_size=1, max_size=200))
+    def test_float_routes_agree_and_distinct_values_differ(self, vals):
+        a = hash64(np.asarray(vals, np.float64))
+        assert np.array_equal(a, hash64(vals))
+        assert np.array_equal(a, hash64(pa.array(vals, type=pa.float64())))
+        # determinism + injectivity up to hash collisions: equal values
+        # hash equal (canonicalization is a pure function of the value)
+        again = hash64(np.asarray(vals, np.float64))
+        assert np.array_equal(a, again)
+
+    def test_integral_double_matches_int_but_fractional_does_not(self):
+        h_int = hash64(np.array([7], np.int64))
+        assert np.array_equal(h_int, hash64(np.array([7.0], np.float64)))
+        assert not np.array_equal(h_int, hash64(np.array([7.5], np.float64)))
+
+    def test_out_of_int64_range_floats_hash_as_ieee(self):
+        big = np.array([1e300, -1e300, float(2**63)], np.float64)
+        h = hash64(big)  # must not overflow/crash; IEEE-bit domain
+        assert len(set(h.tolist())) == 3
+        assert np.array_equal(h, hash64(big.copy()))
