@@ -247,3 +247,76 @@ class TestHllSparseEncoding:
         total = sum(len(bytes(r["state"])) for r in states)
         dense_total = len(states) * (1 << 13)
         assert total < dense_total / 4  # ~100 elems/group => deeply sparse
+
+
+class TestWireTransparency:
+    """serialize -> deserialize must be INVISIBLE to the algebra: a state
+    that travelled the wire merges into exactly the state an in-memory
+    merge produces.  This is the law Spark relies on every time a partial
+    crosses a shuffle, and the one the round-5 pass-3 KMV/MG bytes-key
+    serialize crash violated — so it runs under the full key strategy
+    (str, bytes, ints-as-text) for every exact-algebra kernel, and as a
+    quantile-equivalence bound for the compacting ones."""
+
+    @given(keys, keys)
+    @settings(max_examples=40, deadline=None)
+    def test_exact_kernels_wire_then_merge_is_byte_exact(self, a, b):
+        from sketchlib.sketch import KMV, MG
+
+        def _kmv(ks):
+            s = KMV.create(k=16)
+            if ks:
+                KMV.update(s, _norm(ks))
+            return s
+
+        cases = [(BLOOM, _bloom), (HLL, _hll), (CMS, _cms), (KMV, _kmv)]
+        for ops, make in cases:
+            s1, s2 = make(a), make(b)
+            direct = ops.serialize(ops.merge(s1, s2))
+            wired = ops.serialize(ops.merge(
+                ops.deserialize(ops.serialize(s1)),
+                ops.deserialize(ops.serialize(s2))))
+            assert wired == direct, ops.name
+        # MG: merge prunes by cap deterministically, but dict ordering of
+        # equal-count survivors is an implementation detail — compare the
+        # (key -> count) maps and error mass instead of bytes
+        m1, m2 = MG.create(cap=8), MG.create(cap=8)
+        if a:
+            MG.update(m1, _norm(a))
+        if b:
+            MG.update(m2, _norm(b))
+        direct = MG.merge(m1, m2)
+        wired = MG.merge(MG.deserialize(MG.serialize(m1)),
+                         MG.deserialize(MG.serialize(m2)))
+        assert dict(zip(wired.keys, wired.counts.tolist())) == \
+            dict(zip(direct.keys, direct.counts.tolist()))
+        assert (wired.n_total, wired.decr_total) == \
+            (direct.n_total, direct.decr_total)
+
+    @given(floats, floats)
+    @settings(max_examples=30, deadline=None)
+    def test_quantile_kernels_wire_then_merge_equivalent(self, a, b):
+        # serialize() may compact the state it ships (t-digest compresses
+        # on the way out), so wired-vs-direct is equivalence UP TO the
+        # sketch's rank error, not byte equality: every wired quantile
+        # must sit within a generous rank band of the direct merge.
+        qs = np.array([0.1, 0.5, 0.9])
+        for ops, make in ((KLL, lambda: KLL.create(100)),
+                          (TDIGEST, lambda: TDIGEST.create(100.0))):
+            s1, s2 = make(), make()
+            if a:
+                ops.update(s1, np.array(a))
+            if b:
+                ops.update(s2, np.array(b))
+            direct = ops.merge(s1, s2)
+            wired = ops.merge(ops.deserialize(ops.serialize(s1)),
+                              ops.deserialize(ops.serialize(s2)))
+            if not a and not b:
+                continue
+            # value-space band (rank bands are degenerate at tiny n: the
+            # single element of {x} has rank 1.0 at every q): each wired
+            # quantile must sit between direct's q∓0.1 quantiles
+            wq = ops.quantile(wired, qs)
+            lo = ops.quantile(direct, np.maximum(qs - 0.1, 0.0))
+            hi = ops.quantile(direct, np.minimum(qs + 0.1, 1.0))
+            assert np.all((lo <= wq) & (wq <= hi)), (ops.name, lo, wq, hi)
