@@ -81,6 +81,16 @@ def main() -> None:
         elif args.probe_keys:
             probes = spark.createDataFrame(
                 [(k,) for k in args.probe_keys], f"{args.probe_col} string")
+            # inline keys arrive as strings; the state was built (and, for
+            # a bank, routed) in the BUILD column's type, so cast to the
+            # manifest's recorded route type — otherwise integer keys
+            # would hash in the string domain (broadcast path: all-False)
+            # or be refused by the bank's route-type guard
+            if manifest.route_types and \
+                    manifest.route_cols == [args.probe_col]:
+                probes = probes.withColumn(
+                    args.probe_col,
+                    F.col(args.probe_col).cast(manifest.route_types[0]))
         else:
             raise SystemExit("need --probe-parquet or --probe-keys")
 

@@ -372,6 +372,22 @@ class TestShardSizedBank:
         assert res["probes"] == 50
         assert res["members"] == 50  # zero FN through the routed path
 
+        # inline --probe-keys arrive as strings; against this
+        # bigint-routed bank the CLI must cast them to the manifest's
+        # route type (a string-typed probe would otherwise be refused by
+        # the route-type guard, or on a monolith hash in the wrong domain
+        # and answer all-False)
+        two = [str(r["l_orderkey"]) for r in
+               df.select("l_orderkey").distinct().limit(2).collect()]
+        r = subprocess.run(
+            [sys.executable, job, "--checkpoint-dir", bank.ckpt_dir,
+             "--probe-keys", *two, "--probe-col", "l_orderkey",
+             "--out", str(tmp_path / "hits2")],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        assert res["probes"] == 2 and res["members"] == 2
+
     def test_probe_state_memo_one_deserialize_per_shard_blob(
             self, spark, sf_smoke, tmp_path):
         """sharded_contains routes per-shard blob deserialization through
